@@ -1,0 +1,10 @@
+import os
+
+# Device tests run on a virtual 8-device CPU mesh so sharding logic is
+# exercised without TPU hardware; kernels themselves are platform-agnostic.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
