@@ -1,0 +1,186 @@
+"""Optimal ate pairing on BLS12-381 (host; runs once per proof verification).
+
+Miller loop with precomputed G2 line coefficients (the reference's
+G2Prepared / multi_miller_loop structure, coset-bls12_381/src/pairings.rs:43-628).
+The hard part of the final exponentiation is a plain exponentiation by
+(p^4 - p^2 + 1)/r -- off the proving hot path, clarity over cycles.
+Correctness is pinned by bilinearity/non-degeneracy tests (tests/test_curves.py).
+"""
+
+from __future__ import annotations
+
+from .. import params
+from ..fields import Fp, Fp2, Fp6, Fp12, Fr
+from .g1 import G1Affine
+from .g2 import G2Affine, G2Projective
+
+_P = Fp.MODULUS
+
+
+class Gt:
+    """Target group: the r-torsion of Fp12* (pairings.rs:628 Gt)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: Fp12):
+        self.value = value
+
+    @classmethod
+    def identity(cls):
+        return cls(Fp12.one())
+
+    def __add__(self, other):
+        return Gt(self.value * other.value)
+
+    def __neg__(self):
+        return Gt(self.value.conjugate())  # inverse in the cyclotomic subgroup
+
+    def __sub__(self, other):
+        return self + (-other)
+
+    def __mul__(self, scalar):
+        k = scalar.value if isinstance(scalar, Fr) else int(scalar) % Fr.MODULUS
+        return Gt(self.value.pow(k))
+
+    __rmul__ = __mul__
+
+    def __eq__(self, other):
+        return isinstance(other, Gt) and self.value == other.value
+
+    def is_identity(self) -> bool:
+        return self.value.is_one()
+
+
+def _doubling_step(r: G2Projective):
+    """One Miller doubling step; mutates r, returns line coeffs (c0, c1, c2)."""
+    tmp0 = r.x.square()
+    tmp1 = r.y.square()
+    tmp2 = tmp1.square()
+    tmp3 = (tmp1 + r.x).square() - tmp0 - tmp2
+    tmp3 = tmp3 + tmp3
+    tmp4 = tmp0 + tmp0 + tmp0
+    tmp6 = r.x + tmp4
+    tmp5 = tmp4.square()
+    zsquared = r.z.square()
+    r.x = tmp5 - tmp3 - tmp3
+    r.z = (r.z + r.y).square() - tmp1 - zsquared
+    r.y = (tmp3 - r.x) * tmp4
+    tmp2_8 = tmp2 + tmp2
+    tmp2_8 = tmp2_8 + tmp2_8
+    tmp2_8 = tmp2_8 + tmp2_8
+    r.y = r.y - tmp2_8
+    tmp3 = tmp4 * zsquared
+    tmp3 = tmp3 + tmp3
+    tmp3 = -tmp3
+    tmp6 = tmp6.square() - tmp0 - tmp5
+    tmp1_4 = tmp1 + tmp1
+    tmp1_4 = tmp1_4 + tmp1_4
+    tmp6 = tmp6 - tmp1_4
+    tmp0 = r.z * zsquared
+    tmp0 = tmp0 + tmp0
+    return (tmp0, tmp3, tmp6)
+
+
+def _addition_step(r: G2Projective, q: G2Affine):
+    """One Miller addition step with affine q; mutates r, returns line coeffs."""
+    zsquared = r.z.square()
+    ysquared = q.y.square()
+    t0 = zsquared * q.x
+    t1 = ((q.y + r.z).square() - ysquared - zsquared) * zsquared
+    t2 = t0 - r.x
+    t3 = t2.square()
+    t4 = t3 + t3
+    t4 = t4 + t4
+    t5 = t4 * t2
+    t6 = t1 - r.y - r.y
+    t9 = t6 * q.x
+    t7 = t4 * r.x
+    r.x = t6.square() - t5 - t7 - t7
+    r.z = (r.z + t2).square() - zsquared - t3
+    t10 = q.y + r.z
+    t8 = (t7 - r.x) * t6
+    t0 = r.y * t5
+    t0 = t0 + t0
+    r.y = t8 - t0
+    t10 = t10.square() - ysquared
+    ztsquared = r.z.square()
+    t10 = t10 - ztsquared
+    t9 = t9 + t9 - t10
+    t10 = r.z + r.z
+    t6 = -t6
+    t1 = t6 + t6
+    return (t10, t1, t9)
+
+
+class G2Prepared:
+    """Precomputed line coefficients for every Miller-loop step (pairings.rs:62)."""
+
+    def __init__(self, q: G2Affine):
+        self.infinity = q.is_identity()
+        self.coeffs: list[tuple[Fp2, Fp2, Fp2]] = []
+        if self.infinity:
+            return
+        r = q.to_projective()
+        x = params.BLS_X >> 1
+        found_one = False
+        for i in range(63, -1, -1):
+            bit = (x >> i) & 1
+            if not found_one:
+                found_one = bit == 1
+                continue
+            self.coeffs.append(_doubling_step(r))
+            if bit:
+                self.coeffs.append(_addition_step(r, q))
+        self.coeffs.append(_doubling_step(r))
+
+
+def _ell(f: Fp12, coeffs, p: G1Affine) -> Fp12:
+    c0, c1, c2 = coeffs
+    c0 = Fp2(c0.c0 * p.y, c0.c1 * p.y)
+    c1 = Fp2(c1.c0 * p.x, c1.c1 * p.x)
+    return f.mul_by_014(c2, c1, c0)
+
+
+def multi_miller_loop(terms: list[tuple[G1Affine, G2Prepared]]) -> Fp12:
+    """Product of Miller loops; skips identity terms (pairings.rs:510)."""
+    live = [(p, q) for p, q in terms if not (p.is_identity() or q.infinity)]
+    f = Fp12.one()
+    cursor = 0
+    x = params.BLS_X >> 1
+    found_one = False
+    for i in range(63, -1, -1):
+        bit = (x >> i) & 1
+        if not found_one:
+            found_one = bit == 1
+            continue
+        for p, q in live:
+            f = _ell(f, q.coeffs[cursor], p)
+        cursor += 1
+        if bit:
+            for p, q in live:
+                f = _ell(f, q.coeffs[cursor], p)
+            cursor += 1
+        f = f.square()
+    for p, q in live:
+        f = _ell(f, q.coeffs[cursor], p)
+    if params.BLS_X_IS_NEGATIVE:
+        f = f.conjugate()
+    return f
+
+
+_HARD_EXP = (_P**4 - _P**2 + 1) // Fr.MODULUS
+
+
+def final_exponentiation(f: Fp12) -> Gt:
+    """f^((p^12-1)/r): easy part by frobenius/inversion, hard part by pow."""
+    # easy: f^(p^6 - 1) then ^(p^2 + 1)
+    t = f.conjugate() * f.invert()
+    t = t.frobenius_map().frobenius_map() * t
+    # hard: ^(p^4 - p^2 + 1)/r
+    return Gt(t.pow(_HARD_EXP))
+
+
+def pairing(p: G1Affine, q: G2Affine) -> Gt:
+    if p.is_identity() or q.is_identity():
+        return Gt.identity()
+    return final_exponentiation(multi_miller_loop([(p, G2Prepared(q))]))

@@ -1,0 +1,217 @@
+"""Radix-2 (i)NTT over the BLS12-381 scalar field, batched on device.
+
+The reference evaluates polynomials with a *serial* Cooley-Tukey butterfly
+(plonk/src/fft/domain.rs:286-340).  Here each butterfly stage is one batched
+Montgomery multiply + add/sub over the whole domain -- data-oblivious, fixed
+shape, VPU-friendly.  Results are exact integers, hence bit-identical to the
+reference for the same domain.
+
+`Domain` mirrors plonk/src/fft/domain.rs:23-284 (fft/ifft/coset variants with
+GENERATOR=7 cosets, vanishing-polynomial helpers, Lagrange coefficients).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params
+from ..fields import Fr
+from . import limb_field as lf
+from .limb_field import FR
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    log_n = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _ntt_impl(n: int, x: jnp.ndarray, brev: jnp.ndarray, stage_twiddles: tuple) -> jnp.ndarray:
+    """Iterative CT NTT; x: [n, L] Montgomery; output natural order evals."""
+    L = x.shape[-1]
+    x = jnp.take(x, brev, axis=0)
+    log_n = n.bit_length() - 1
+    for s in range(log_n):
+        half = 1 << s
+        xs = x.reshape(n // (2 * half), 2, half, L)
+        even, odd = xs[:, 0], xs[:, 1]
+        tw = stage_twiddles[s][None, :, :]
+        t = lf.mont_mul(FR, odd, jnp.broadcast_to(tw, odd.shape))
+        x = jnp.stack([lf.add(FR, even, t), lf.sub(FR, even, t)], axis=1).reshape(n, L)
+    return x
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _scale(spec, x: jnp.ndarray, factors: jnp.ndarray) -> jnp.ndarray:
+    """Pointwise Montgomery multiply by a per-index factor array."""
+    return lf.mont_mul(spec, x, factors)
+
+
+class Domain:
+    """Multiplicative subgroup domain of power-of-two order over Fr."""
+
+    _cache: dict[int, "Domain"] = {}
+
+    def __new__(cls, size: int):
+        if size in cls._cache:
+            return cls._cache[size]
+        inst = super().__new__(cls)
+        cls._cache[size] = inst
+        return inst
+
+    def __init__(self, size: int):
+        if getattr(self, "size", None) == size:
+            return  # cached
+        if size & (size - 1) or size == 0 or size > (1 << params.FR_TWO_ADICITY):
+            raise ValueError(f"invalid domain size {size}")
+        self.size = size
+        self.log_size = size.bit_length() - 1
+        q = params.FR_MODULUS
+        self.group_gen = pow(params.FR_ROOT_OF_UNITY,
+                             1 << (params.FR_TWO_ADICITY - self.log_size), q)
+        self.group_gen_inv = pow(self.group_gen, -1, q)
+        self.size_inv = pow(size, -1, q)
+        self.generator = params.FR_GENERATOR  # coset shift g = 7
+        self.generator_inv = pow(self.generator, -1, q)
+        self._brev = jnp.asarray(bit_reverse_indices(size))
+        self._fwd_tw = self._stage_twiddles(self.group_gen)
+        self._inv_tw = self._stage_twiddles(self.group_gen_inv)
+        # lazy per-use factor tables
+        self._factors: dict[str, jnp.ndarray] = {}
+
+    def _stage_twiddles(self, root: int) -> tuple:
+        q = params.FR_MODULUS
+        out = []
+        for s in range(self.log_size):
+            m = 2 << s
+            wm = pow(root, self.size // m, q)
+            powers, cur = [], 1
+            for _ in range(m // 2):
+                powers.append(cur)
+                cur = cur * wm % q
+            out.append(FR.to_mont_array(powers))
+        return tuple(out)
+
+    def _factor(self, key: str) -> jnp.ndarray:
+        """Precomputed pointwise factor arrays (Montgomery form, [n, L])."""
+        if key not in self._factors:
+            q = params.FR_MODULUS
+            n = self.size
+            if key == "coset":          # g^i
+                vals = self._powers(self.generator)
+            elif key == "coset_inv_scaled":  # g^{-i} * n^{-1}
+                vals = [v * self.size_inv % q for v in self._powers(self.generator_inv)]
+            elif key == "size_inv":     # n^{-1} broadcast
+                vals = [self.size_inv] * n
+            else:
+                raise KeyError(key)
+            self._factors[key] = FR.to_mont_array(vals)
+        return self._factors[key]
+
+    def _powers(self, base: int) -> list[int]:
+        q = params.FR_MODULUS
+        out, cur = [], 1
+        for _ in range(self.size):
+            out.append(cur)
+            cur = cur * base % q
+        return out
+
+    # ---- device transforms (Montgomery [n, L] tensors) ----------------------
+    def fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        assert coeffs.shape[0] == self.size
+        return _ntt_impl(self.size, coeffs, self._brev, self._fwd_tw)
+
+    def ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
+        out = _ntt_impl(self.size, evals, self._brev, self._inv_tw)
+        return _scale(FR, out, self._factor("size_inv"))
+
+    def coset_fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """Evaluate over the coset g*H (distribute powers of g, then FFT)."""
+        shifted = _scale(FR, coeffs, self._factor("coset"))
+        return self.fft_device(shifted)
+
+    def coset_ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
+        out = _ntt_impl(self.size, evals, self._brev, self._inv_tw)
+        return _scale(FR, out, self._factor("coset_inv_scaled"))
+
+    # ---- host conveniences (lists of Fr) -------------------------------------
+    def fft(self, coeffs: list[Fr]) -> list[Fr]:
+        arr = FR.to_mont_array([c.value for c in self._pad(coeffs)])
+        return [Fr(v) for v in FR.from_mont_array(self.fft_device(arr))]
+
+    def ifft(self, evals: list[Fr]) -> list[Fr]:
+        arr = FR.to_mont_array([c.value for c in self._pad(evals)])
+        return [Fr(v) for v in FR.from_mont_array(self.ifft_device(arr))]
+
+    def coset_fft(self, coeffs: list[Fr]) -> list[Fr]:
+        arr = FR.to_mont_array([c.value for c in self._pad(coeffs)])
+        return [Fr(v) for v in FR.from_mont_array(self.coset_fft_device(arr))]
+
+    def coset_ifft(self, evals: list[Fr]) -> list[Fr]:
+        arr = FR.to_mont_array([c.value for c in self._pad(evals)])
+        return [Fr(v) for v in FR.from_mont_array(self.coset_ifft_device(arr))]
+
+    def _pad(self, xs: list[Fr]) -> list[Fr]:
+        if len(xs) > self.size:
+            raise ValueError("input larger than domain")
+        return list(xs) + [Fr.zero()] * (self.size - len(xs))
+
+    # ---- host-side domain analytics (domain.rs:106-284) ----------------------
+    def elements(self) -> list[Fr]:
+        return [Fr(v) for v in self._powers(self.group_gen)]
+
+    def evaluate_vanishing_polynomial(self, tau: Fr) -> Fr:
+        """Z_H(tau) = tau^n - 1."""
+        return tau.pow(self.size) - Fr.one()
+
+    def evaluate_all_lagrange_coefficients(self, tau: Fr) -> list[Fr]:
+        """L_i(tau) for all i, batch-inverted barycentric (domain.rs:200-250)."""
+        q = params.FR_MODULUS
+        n = self.size
+        t = tau.value
+        z = (pow(t, n, q) - 1) % q
+        if z == 0:
+            # tau is in the domain: indicator vector
+            els = self._powers(self.group_gen)
+            return [Fr.one() if e == t else Fr.zero() for e in els]
+        z_over_n = z * self.size_inv % q
+        els = self._powers(self.group_gen)
+        denoms = [(t - e) % q for e in els]
+        invs = _batch_inverse(denoms, q)
+        return [Fr(z_over_n * e % q * inv % q) for e, inv in zip(els, invs)]
+
+    def compute_vanishing_poly_over_coset(self, coset_size: int) -> list[Fr]:
+        """Evals of Z_H(X)=X^n - 1 over the coset g*H' of size coset_size."""
+        q = params.FR_MODULUS
+        big = Domain(coset_size)
+        g_pow_n = pow(self.generator, self.size, q)
+        w_pow_n = pow(big.group_gen, self.size, q)
+        out, cur = [], g_pow_n
+        for _ in range(coset_size):
+            out.append(Fr((cur - 1) % q))
+            cur = cur * w_pow_n % q
+        return out
+
+
+def _batch_inverse(vals: list[int], q: int) -> list[int]:
+    """Montgomery's trick; zeros map to zero (plonk/src/util.rs batch_inversion)."""
+    prefix, acc = [], 1
+    for v in vals:
+        prefix.append(acc)
+        if v:
+            acc = acc * v % q
+    inv = pow(acc, -1, q)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        if vals[i]:
+            out[i] = prefix[i] * inv % q
+            inv = inv * vals[i] % q
+    return out
