@@ -1,0 +1,122 @@
+"""Batched G1 point arithmetic on device (uint32-limb tensors over Fq).
+
+A point batch is a tuple (x, y, z) of [..., 24] Montgomery-limb tensors
+(homogeneous projective).  The group law is the same complete RCB15 algebra
+as the host implementation (zkvm_tpu/curves/weierstrass.py; reference
+coset-bls12_381/src/g1.rs:425-530) -- branch-free and identity-safe, so the
+whole MSM pipeline is data-oblivious and fixed-shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import params
+from ..curves.g1 import G1Affine, G1Projective
+from ..fields import Fp
+from . import limb_field as lf
+from .limb_field import FQ
+
+# 3*b = 12 in Montgomery form, as a host constant limb vector
+_B3_MONT = lf.int_to_limbs(3 * params.G1_B * FQ.R % FQ.modulus, FQ.n_limbs)
+
+
+def _mul_b3(t):
+    return lf.mont_mul_const(FQ, t, _B3_MONT)
+
+
+def padd(p, q):
+    """Complete projective addition (RCB15 algorithm 7, a=0)."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    mul = lambda a, b: lf.mont_mul(FQ, a, b)
+    add = lambda a, b: lf.add(FQ, a, b)
+    sub = lambda a, b: lf.sub(FQ, a, b)
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    t3 = sub(sub(mul(add(x1, y1), add(x2, y2)), t0), t1)
+    t4 = sub(sub(mul(add(y1, z1), add(y2, z2)), t1), t2)
+    t5 = sub(sub(mul(add(x1, z1), add(x2, z2)), t0), t2)
+    t6 = _mul_b3(t2)
+    z3 = add(t1, t6)
+    t1 = sub(t1, t6)
+    y3 = _mul_b3(t5)
+    x3 = sub(mul(t3, t1), mul(t4, y3))
+    t0_3 = add(add(t0, t0), t0)
+    y3 = add(mul(t1, z3), mul(y3, t0_3))
+    z3 = add(mul(z3, t4), mul(t0_3, t3))
+    return x3, y3, z3
+
+
+def pdouble(p):
+    """Complete projective doubling (RCB15 algorithm 9, a=0)."""
+    x, y, z = p
+    mul = lambda a, b: lf.mont_mul(FQ, a, b)
+    add = lambda a, b: lf.add(FQ, a, b)
+    sub = lambda a, b: lf.sub(FQ, a, b)
+    t0 = mul(y, y)
+    z3 = add(t0, t0)
+    z3 = add(z3, z3)
+    z3 = add(z3, z3)
+    t1 = mul(y, z)
+    t2 = _mul_b3(mul(z, z))
+    x3 = mul(t2, z3)
+    y3 = add(t0, t2)
+    z3 = mul(t1, z3)
+    t1 = add(t2, t2)
+    t2 = add(t1, t2)
+    t0 = sub(t0, t2)
+    y3 = add(mul(t0, y3), x3)
+    x3 = mul(mul(x, y), t0)
+    x3 = add(x3, x3)
+    return x3, y3, z3
+
+
+def pneg(p):
+    x, y, z = p
+    return x, lf.neg(FQ, y), z
+
+
+def pselect(mask, p, q):
+    """mask ? p : q elementwise over the batch."""
+    return tuple(lf.select(mask, a, b) for a, b in zip(p, q))
+
+
+def identity_batch(shape):
+    """Identity points (0 : 1 : 0) broadcast to batch `shape`."""
+    zeros = np.zeros(shape + (FQ.n_limbs,), dtype=np.uint32)
+    ones = np.broadcast_to(FQ.one_mont, shape + (FQ.n_limbs,)).copy()
+    import jax.numpy as jnp
+
+    return (jnp.asarray(zeros), jnp.asarray(ones), jnp.asarray(zeros))
+
+
+# ---- host <-> device conversion ---------------------------------------------
+
+def affine_to_device(points: list[G1Affine]):
+    """Encode affine points as projective Montgomery limb tensors [n, 24]."""
+    n = len(points)
+    xs = np.zeros((n, FQ.n_limbs), dtype=np.uint32)
+    ys = np.zeros((n, FQ.n_limbs), dtype=np.uint32)
+    zs = np.zeros((n, FQ.n_limbs), dtype=np.uint32)
+    one = np.asarray(FQ.one_mont)
+    for i, p in enumerate(points):
+        if p.infinity:
+            ys[i] = one
+        else:
+            xs[i] = lf.int_to_limbs(p.x.value * FQ.R % FQ.modulus, FQ.n_limbs)
+            ys[i] = lf.int_to_limbs(p.y.value * FQ.R % FQ.modulus, FQ.n_limbs)
+            zs[i] = one
+    import jax.numpy as jnp
+
+    return (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs))
+
+
+def device_to_projective(p, index=None) -> G1Projective:
+    """Decode one device point (or batch element `index`) to the host type."""
+    x, y, z = p
+    if index is not None:
+        x, y, z = x[index], y[index], z[index]
+    xv, yv, zv = (FQ.from_mont_array(t.reshape(1, -1))[0] for t in (x, y, z))
+    return G1Projective(Fp(xv), Fp(yv), Fp(zv))

@@ -2,8 +2,17 @@
 
 TPU has no 64-bit integer multiplier; we use base-2^16 limbs so that limb
 products fit exactly in uint32 and column accumulations stay well below 2^32
-(<= 2*L*(2^16-1)^... < 2^22 for L <= 32).  Everything is fixed-shape,
-branch-free, and exact -- XLA fuses the elementwise chains onto the VPU.
+(<= 2*L*(2^16-1) pieces of < 2^16 each: < 2^22 for L <= 32).  Everything is
+fixed-shape, branch-free, and exact.
+
+Design notes (TPU + XLA):
+  * The schoolbook product is ONE batched integer matmul: split the exact
+    u32 outer product into 16-bit lo/hi pieces and contract them against a
+    constant one-hot "column routing" tensor.  This maps onto the MXU/VPU
+    instead of an unrolled shift-add chain, and keeps the traced graph tiny.
+  * Carry/borrow propagation is inherently sequential; it runs as a
+    `lax.scan` over the limb axis (3-op body, batch-wide vector steps), not
+    an unrolled ripple -- XLA compile time stays linear in limb count.
 
 Field elements live in Montgomery form (x*R mod p, R = 2^(16L)) in `[..., L]`
 uint32 arrays.  The reference equivalents are the CIOS Montgomery kernels in
@@ -14,7 +23,7 @@ operand scanning) formulation which vectorizes better.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -112,151 +121,141 @@ JUBJUB_FR = FieldSpec("JubjubFr", params.JUBJUB_FR_MODULUS, 16)
 # Core kernels.  All take/return uint32 [..., L] tensors; `spec` is static.
 # =============================================================================
 
+@functools.lru_cache(maxsize=None)
+def _routing_tensors(l_a: int, l_b: int, n_cols: int):
+    """One-hot column-routing matrices for the schoolbook product.
+
+    d_lo[(i, j), k] = 1 iff i + j == k     (low 16 bits of a_i * b_j)
+    d_hi[(i, j), k] = 1 iff i + j + 1 == k (high 16 bits)
+    """
+    d_lo = np.zeros((l_a * l_b, n_cols), dtype=np.uint32)
+    d_hi = np.zeros((l_a * l_b, n_cols), dtype=np.uint32)
+    for i in range(l_a):
+        for j in range(l_b):
+            if i + j < n_cols:
+                d_lo[i * l_b + j, i + j] = 1
+            if i + j + 1 < n_cols:
+                d_hi[i * l_b + j, i + j + 1] = 1
+    # cache host arrays (a cached jnp array created inside a trace would leak
+    # tracers); jnp.asarray at the use site folds them into constants
+    return np.stack([d_lo, d_hi])
+
+
+def _mul_accum(a: jnp.ndarray, b, n_cols: int) -> jnp.ndarray:
+    """Column accumulator of the schoolbook product a*b (no carry norm).
+
+    a: [..., La] normalized 16-bit limbs; b: [..., Lb] tensor or a host
+    np.uint32[Lb] constant vector.  Returns [..., n_cols] uint32 columns,
+    each < 2^22 (sum of <= 2*min(La,Lb) pieces < 2^16).  Implemented as one
+    exact u32 outer product + one integer matmul with the routing tensor.
+    """
+    if isinstance(b, np.ndarray):
+        b = jnp.asarray(b)
+    l_a = a.shape[-1]
+    l_b = b.shape[-1]
+    prod = a[..., :, None] * b[..., None, :]  # exact: < 2^32
+    pieces = jnp.stack([prod & LIMB_MASK, prod >> LIMB_BITS], axis=-3)
+    routing = jnp.asarray(_routing_tensors(l_a, l_b, n_cols))  # [2, La*Lb, k]
+    flat = pieces.reshape(pieces.shape[:-2] + (l_a * l_b,))
+    return jnp.einsum("...cm,cmk->...k", flat, routing)
+
+
 def _carry16(acc: jnp.ndarray, n_out: int) -> jnp.ndarray:
     """Propagate carries over the last axis, producing n_out 16-bit limbs.
 
-    acc columns must be < 2^31 - slack; runs an unrolled dependent chain of
-    cheap vector ops (the only serial part of the arithmetic).
+    acc columns must be < 2^31-ish; runs as a scan over the limb axis (the
+    only inherently serial part of the arithmetic).
     """
     n_in = acc.shape[-1]
-    outs = []
-    carry = jnp.zeros(acc.shape[:-1], dtype=jnp.uint32)
-    for k in range(n_out):
-        v = (acc[..., k] if k < n_in else jnp.zeros_like(carry)) + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    if n_in < n_out:
+        pad = [(0, 0)] * (acc.ndim - 1) + [(0, n_out - n_in)]
+        acc = jnp.pad(acc, pad)
+    cols = jnp.moveaxis(acc[..., :n_out], -1, 0)
+
+    def body(carry, col):
+        v = col + carry
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    _, outs = jax.lax.scan(body, jnp.zeros(acc.shape[:-1], jnp.uint32), cols)
+    return jnp.moveaxis(outs, 0, -1)
 
 
-def _mul_accum(a: jnp.ndarray, b_limbs, n_cols: int) -> jnp.ndarray:
-    """Column accumulator of the schoolbook product a*b (no carry norm).
+def _borrow_sub(a: jnp.ndarray, b) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(a - b) limbwise with borrow scan; returns (diff, underflowed?).
 
-    a: [..., L] normalized 16-bit limbs; b_limbs: [..., L] tensor or a host
-    np.uint32[L] constant vector. Returns [..., n_cols] uint32 columns where
-    column k = sum_{i+j=k} (lo16 of a_i*b_j) + sum_{i+j=k-1} (hi16 of a_i*b_j).
+    b may be a tensor of the same shape or a host constant limb vector.
     """
-    L = a.shape[-1]
-    is_const = isinstance(b_limbs, np.ndarray)
-    acc = jnp.zeros(a.shape[:-1] + (n_cols,), dtype=jnp.uint32)
-    pad_cfg = [(0, 0)] * (a.ndim - 1)
-    for j in range(L):
-        bj = int(b_limbs[j]) if is_const else b_limbs[..., j : j + 1]
-        if is_const and bj == 0:
-            continue
-        p = a * bj  # exact: < 2^32
-        lo = p & LIMB_MASK
-        hi = p >> LIMB_BITS
-        # shifted accumulate via pad (XLA fuses this far better than scatter)
-        w_lo = min(L, n_cols - j)
-        if w_lo > 0:
-            acc = acc + jnp.pad(lo[..., :w_lo], pad_cfg + [(j, n_cols - j - w_lo)])
-        w_hi = min(L, n_cols - j - 1)
-        if w_hi > 0:
-            acc = acc + jnp.pad(hi[..., :w_hi], pad_cfg + [(j + 1, n_cols - j - 1 - w_hi)])
-    return acc
+    if isinstance(b, np.ndarray):
+        b = jnp.broadcast_to(jnp.asarray(b), a.shape)
+    av = jnp.moveaxis(a, -1, 0).astype(jnp.int32)
+    bv = jnp.moveaxis(b, -1, 0).astype(jnp.int32)
 
+    def body(borrow, ab):
+        x, y = ab
+        v = x - y - borrow
+        return (v >> LIMB_BITS) & 1, (v & LIMB_MASK).astype(jnp.uint32)
 
-def _geq(a: jnp.ndarray, b_const: np.ndarray) -> jnp.ndarray:
-    """a >= b (b a host constant limb vector), elementwise over batch."""
-    # compare from most significant limb down
-    L = a.shape[-1]
-    gt = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
-    eq = jnp.ones(a.shape[:-1], dtype=jnp.bool_)
-    for k in range(L - 1, -1, -1):
-        bk = int(b_const[k])
-        gt = gt | (eq & (a[..., k] > bk))
-        eq = eq & (a[..., k] == bk)
-    return gt | eq
-
-
-def _sub_const(a: jnp.ndarray, b_const: np.ndarray) -> jnp.ndarray:
-    """a - b mod 2^(16L) for a host constant b (no underflow handling)."""
-    L = a.shape[-1]
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.int32)
-    for k in range(L):
-        v = a[..., k].astype(jnp.int32) - int(b_const[k]) + borrow
-        outs.append((v & LIMB_MASK).astype(jnp.uint32))
-        borrow = v >> LIMB_BITS  # arithmetic shift: 0 or -1
-    return jnp.stack(outs, axis=-1)
+    borrow, outs = jax.lax.scan(body, jnp.zeros(a.shape[:-1], jnp.int32), (av, bv))
+    return jnp.moveaxis(outs, 0, -1), borrow > 0
 
 
 def _cond_sub_p(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Subtract p where a >= p (single reduction step)."""
-    need = _geq(a, spec.p_limbs)
-    return jnp.where(need[..., None], _sub_const(a, spec.p_limbs), a)
+    diff, under = _borrow_sub(a, spec.p_limbs)
+    return jnp.where(under[..., None], a, diff)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a + b) mod p, both in the same (Montgomery or raw) domain."""
     s = _carry16(a + b, spec.n_limbs + 1)
-    # if the 2^(16L) carry limb is set, or s >= p, subtract p. a,b < p so
-    # a+b < 2p < 2^(16L)+p -> at most one subtraction; fold carry into compare.
     carry_set = s[..., spec.n_limbs] > 0
     body = s[..., : spec.n_limbs]
-    need = carry_set | _geq(body, spec.p_limbs)
-    return jnp.where(need[..., None], _sub_const(body, spec.p_limbs), body)
+    diff, under = _borrow_sub(body, spec.p_limbs)
+    # subtract p if the 2^(16L) bit is set or body >= p (at most one needed:
+    # a, b < p so a + b < 2p < 2^(16L) + p)
+    need = carry_set | ~under
+    return jnp.where(need[..., None], diff, body)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a - b) mod p."""
-    L = spec.n_limbs
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.int32)
-    for k in range(L):
-        v = a[..., k].astype(jnp.int32) - b[..., k].astype(jnp.int32) + borrow
-        outs.append((v & LIMB_MASK).astype(jnp.uint32))
-        borrow = v >> LIMB_BITS
-    d = jnp.stack(outs, axis=-1)
-    underflow = borrow < 0
+    diff, under = _borrow_sub(a, b)
     # add p back where we underflowed
-    outs2 = []
-    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    pl = spec.p_limbs
-    for k in range(L):
-        v = d[..., k] + jnp.where(underflow, jnp.uint32(int(pl[k])), jnp.uint32(0)) + carry
-        outs2.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs2, axis=-1)
+    padd_ = _carry16(diff + jnp.where(under[..., None],
+                                      jnp.asarray(spec.p_limbs), jnp.uint32(0)),
+                     spec.n_limbs)
+    return jnp.where(under[..., None], padd_, diff)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """(-a) mod p (p - a, with -0 = 0)."""
-    is_zero_mask = is_zero(spec, a)
-    d = _sub_const_rev(spec, a)
-    return jnp.where(is_zero_mask[..., None], jnp.zeros_like(a), d)
-
-
-def _sub_const_rev(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """p - a for a < p."""
-    L = spec.n_limbs
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.int32)
-    for k in range(L):
-        v = int(spec.p_limbs[k]) - a[..., k].astype(jnp.int32) + borrow
-        outs.append((v & LIMB_MASK).astype(jnp.uint32))
-        borrow = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    diff, _ = _borrow_sub(jnp.broadcast_to(jnp.asarray(spec.p_limbs), a.shape), a)
+    return jnp.where(is_zero(spec, a)[..., None], jnp.zeros_like(a), diff)
 
 
 def is_zero(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == 0, axis=-1)
 
 
+def _mont_reduce(spec: FieldSpec, t_cols: jnp.ndarray) -> jnp.ndarray:
+    """SOS Montgomery reduction of product columns (2L cols, each < 2^22)."""
+    l = spec.n_limbs
+    t = _carry16(t_cols, 2 * l)
+    m = _carry16(_mul_accum(t[..., :l], spec.np_limbs, l), l)
+    u = _mul_accum(m, spec.p_limbs, 2 * l + 1)
+    u = u.at[..., : 2 * l].add(t)
+    u = _carry16(u, 2 * l + 1)
+    res = u[..., l: 2 * l]  # (t + m*p)/R < 2p fits in L limbs (2p < 2^(16L))
+    return _cond_sub_p(spec, res)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod p (SOS: t=a*b; m=t*p' mod R; (t+mp)/R)."""
-    L = spec.n_limbs
-    t = _carry16(_mul_accum(a, b, 2 * L), 2 * L)
-    m = _carry16(_mul_accum(t[..., :L], spec.np_limbs, L), L)
-    u = _mul_accum(m, spec.p_limbs, 2 * L + 1)
-    u = u.at[..., : 2 * L].add(t)
-    u = _carry16(u, 2 * L + 1)
-    res = u[..., L : 2 * L]  # (t + m*p)/R < 2p fits in L limbs (2p < 2^(16L))
-    return _cond_sub_p(spec, res)
+    return _mont_reduce(spec, _mul_accum(a, b, 2 * spec.n_limbs))
 
 
 def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -266,13 +265,7 @@ def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def _mont_mul_const_impl(spec: FieldSpec, a: jnp.ndarray, c_tuple: tuple) -> jnp.ndarray:
     c_mont = np.array(c_tuple, dtype=np.uint32)
-    L = spec.n_limbs
-    t = _carry16(_mul_accum(a, c_mont, 2 * L), 2 * L)
-    m = _carry16(_mul_accum(t[..., :L], spec.np_limbs, L), L)
-    u = _mul_accum(m, spec.p_limbs, 2 * L + 1)
-    u = u.at[..., : 2 * L].add(t)
-    u = _carry16(u, 2 * L + 1)
-    return _cond_sub_p(spec, u[..., L : 2 * L])
+    return _mont_reduce(spec, _mul_accum(a, c_mont, 2 * spec.n_limbs))
 
 
 def mont_mul_const(spec: FieldSpec, a: jnp.ndarray, c_mont: np.ndarray) -> jnp.ndarray:

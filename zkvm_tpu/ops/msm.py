@@ -1,0 +1,272 @@
+"""Device Pippenger MSM: host-scheduled bucket reduction, batched group ops.
+
+The reference MSM (coset-bls12_381/src/coset/multiscalar_mul.rs:143-220) is a
+serial bucket scan parallelized over windows with rayon.  A TPU has no
+efficient data-dependent scatter, so the bucket accumulation is re-designed:
+
+  1. host: signed radix-2^c digit decomposition (numpy, vectorized);
+  2. host: per window, stable-sort point indices by |digit| so every bucket
+     becomes a contiguous segment, then emit a *static-shape* pairing
+     schedule: log2(N) rounds, round r pairing adjacent same-bucket items;
+  3. device: execute the schedule -- each round is one batched complete
+     point addition over [windows, L_r] lanes (no control flow, no scatter).
+     The first few (large) rounds are unrolled; the long tail of small
+     rounds runs under one lax.scan so the traced graph stays small;
+  4. device: gather per-bucket sums and fold them with the running-sum
+     trick (sum_b b*S_b = sum of suffix sums) as a 2-add lax.scan over the
+     bucket axis;
+  5. host: fold the ~W window sums with c doublings each.
+
+Shapes depend only on (N, c), so one jit specialization serves all inputs of
+a given size.  Work is ~3*W*N lane-adds, all data-oblivious.  Correctness is
+pinned against the host reference MSM (tests/test_msm.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.g1 import G1Affine, G1Projective
+from ..fields import Fr
+from . import g1_ops
+from . import limb_field as lf
+from .limb_field import FQ
+
+DEVICE_MSM_THRESHOLD = 1024  # below this the host MSM wins (no transfers)
+
+_UNROLLED_ROUNDS = 4  # large early rounds traced individually; rest scanned
+
+
+def _window_bits(n: int) -> int:
+    """Window width: balances bucket count (2^(c-1), serial fold steps and
+    schedule padding) against window count (~256/c, total lane work)."""
+    if n < (1 << 12):
+        return 8
+    return 10
+
+
+# -----------------------------------------------------------------------------
+# Host scheduling
+# -----------------------------------------------------------------------------
+
+def _signed_digits(scalars: list[Fr], c: int) -> np.ndarray:
+    """[W, N] int32 signed radix-2^c digits, |d| <= 2^(c-1)."""
+    n = len(scalars)
+    w_count = (256 + c - 1) // c
+    buf = b"".join(s.to_bytes() for s in scalars)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8).reshape(n, 32),
+        axis=1, bitorder="little")  # [N, 256]
+    pad = w_count * c - 256
+    if pad:
+        bits = np.pad(bits, [(0, 0), (0, pad)])
+    weights = (1 << np.arange(c, dtype=np.int64))
+    ud = bits.reshape(n, w_count, c).astype(np.int64) @ weights  # [N, W]
+    ud = ud.T.copy()  # [W, N]
+    half = 1 << (c - 1)
+    carry = np.zeros(n, dtype=np.int64)
+    out = np.zeros_like(ud)
+    for j in range(w_count):
+        d = ud[j] + carry
+        wrap = d > half
+        out[j] = np.where(wrap, d - (1 << c), d)
+        carry = wrap.astype(np.int64)
+    assert not carry.any(), "scalar overflow in signed digit decomposition"
+    return out.astype(np.int32)
+
+
+def _round_lengths(n: int, c: int) -> list[int]:
+    """Static buffer lengths per pairing round (worst case over all inputs)."""
+    n_rounds = max(1, math.ceil(math.log2(n))) if n > 1 else 1
+    half = 1 << (c - 1)
+    max_segs = half + 1  # buckets 1..half plus the dead segment
+    lengths, cur = [], n
+    for _ in range(n_rounds):
+        cur = min(cur, (cur + max_segs) // 2 + 1)
+        lengths.append(cur)
+    return lengths
+
+
+def _build_schedule(digits: np.ndarray, n: int, c: int):
+    """Pairing schedule: returns (src0, neg0, unrolled, scanned, final_idx).
+
+    unrolled: list of (left, right) index pairs, one per early round;
+    scanned: stacked (left[R,W,Ls], right[R,W,Ls]) for the tail rounds, all
+    padded to the buffer length entering the scan.  The identity element
+    lives at the LAST slot of each buffer (index = buffer length).
+    """
+    w_count = digits.shape[0]
+    half = 1 << (c - 1)
+    lengths = _round_lengths(n, c)
+    n_rounds = len(lengths)
+    n_unroll = min(_UNROLLED_ROUNDS, n_rounds)
+
+    src0 = np.zeros((w_count, n), dtype=np.int32)
+    neg0 = np.zeros((w_count, n), dtype=bool)
+    segs = np.zeros((w_count, n), dtype=np.int32)
+    for w in range(w_count):
+        d = digits[w]
+        bucket = np.where(d == 0, -1, np.abs(d)).astype(np.int32)
+        order = np.argsort(bucket, kind="stable")
+        sb = bucket[order]
+        src0[w] = np.where(sb < 0, n, order)  # dead slots gather identity
+        neg0[w] = (d[order] < 0) & (sb >= 0)
+        segs[w] = sb
+
+    def pair_round(cur_seg, cur_len, l_out):
+        left = np.full((w_count, l_out), cur_len, dtype=np.int32)
+        right = np.full((w_count, l_out), cur_len, dtype=np.int32)
+        new_seg = np.full((w_count, l_out), -1, dtype=np.int32)
+        for w in range(w_count):
+            seg = cur_seg[w]
+            m = seg.shape[0]
+            idx = np.arange(m)
+            change = np.empty(m, dtype=bool)
+            change[0] = True
+            change[1:] = seg[1:] != seg[:-1]
+            run_start = idx[change][np.cumsum(change) - 1]
+            local = idx - run_start
+            is_left = (local % 2) == 0
+            partner = np.zeros(m, dtype=bool)
+            partner[:-1] = is_left[:-1] & (seg[1:] == seg[:-1])
+            lefts = idx[is_left]
+            k = lefts.shape[0]
+            assert k <= l_out, (k, l_out)
+            left[w, :k] = lefts
+            right[w, :k] = np.where(partner[lefts], lefts + 1, cur_len)
+            new_seg[w, :k] = seg[lefts]
+        return left, right, new_seg
+
+    unrolled = []
+    cur_seg, cur_len = segs, n
+    for r in range(n_unroll):
+        left, right, cur_seg = pair_round(cur_seg, cur_len, lengths[r])
+        unrolled.append((left, right))
+        cur_len = lengths[r]
+
+    # tail rounds all run at the fixed scan length
+    l_scan = cur_len
+    scan_left, scan_right = [], []
+    for _ in range(n_unroll, n_rounds):
+        left, right, cur_seg = pair_round(cur_seg, cur_len, l_scan)
+        scan_left.append(left)
+        scan_right.append(right)
+        cur_len = l_scan
+    scanned = (np.stack(scan_left) if scan_left else
+               np.zeros((0, w_count, l_scan), dtype=np.int32),
+               np.stack(scan_right) if scan_right else
+               np.zeros((0, w_count, l_scan), dtype=np.int32))
+
+    final_idx = np.full((w_count, half), cur_len, dtype=np.int32)
+    for w in range(w_count):
+        seg = cur_seg[w]
+        live = seg > 0
+        final_idx[w, seg[live] - 1] = np.nonzero(live)[0]
+    return src0, neg0, unrolled, scanned, final_idx
+
+
+# -----------------------------------------------------------------------------
+# Device kernel
+# -----------------------------------------------------------------------------
+
+def _with_identity(buf):
+    """Append one identity lane at the end of axis 1."""
+    ident = g1_ops.identity_batch((buf[0].shape[0], 1))
+    return tuple(jnp.concatenate([t, i], axis=1) for t, i in zip(buf, ident))
+
+
+def _gather(buf, idx):
+    return tuple(jnp.take_along_axis(t, idx[:, :, None], axis=1) for t in buf)
+
+
+@jax.jit
+def _msm_kernel(points, src0, neg0, unrolled, scanned, final_idx):
+    # round 0: per-window signed gather of the sorted working set
+    px, py, pz = points
+    x = jnp.take(px, src0, axis=0)
+    y = jnp.take(py, src0, axis=0)
+    z = jnp.take(pz, src0, axis=0)
+    y = lf.select(neg0, lf.neg(FQ, y), y)
+    buf = (x, y, z)
+
+    for left, right in unrolled:
+        buf = _with_identity(buf)
+        buf = g1_ops.padd(_gather(buf, left), _gather(buf, right))
+
+    scan_left, scan_right = scanned
+    if scan_left.shape[0]:
+        def round_body(b, lr):
+            left, right = lr
+            b = _with_identity(b)
+            return g1_ops.padd(_gather(b, left), _gather(b, right)), None
+
+        buf, _ = jax.lax.scan(round_body, buf, (scan_left, scan_right))
+
+    buf = _with_identity(buf)
+    buckets = _gather(buf, final_idx)  # [W, B] bucket sums
+
+    # weighted fold: sum_b b*S_b via running suffix sums, highest bucket first
+    w_shape = (buckets[0].shape[0],)
+    init = (g1_ops.identity_batch(w_shape), g1_ops.identity_batch(w_shape))
+
+    def fold_body(carry, s_b):
+        running, total = carry
+        running = g1_ops.padd(running, s_b)
+        total = g1_ops.padd(total, running)
+        return (running, total), None
+
+    rev = tuple(t[:, ::-1].swapaxes(0, 1) for t in buckets)  # [B, W, L]
+    (_, total), _ = jax.lax.scan(fold_body, init, rev)
+    return total  # [W] window sums
+
+
+# -----------------------------------------------------------------------------
+# Public API
+# -----------------------------------------------------------------------------
+
+class MSMContext:
+    """Caches the device-resident point set (e.g. a CommitKey's powers)."""
+
+    def __init__(self, points: list[G1Affine]):
+        base = g1_ops.affine_to_device(points)
+        ident = g1_ops.identity_batch((1,))
+        self.points = tuple(jnp.concatenate([b, i], axis=0)
+                            for b, i in zip(base, ident))
+        self.n = len(points)
+
+    def msm(self, scalars: list[Fr]) -> G1Projective:
+        n = len(scalars)
+        assert n <= self.n
+        if n == 0:
+            return G1Projective.identity()
+        c = _window_bits(n)
+        digits = _signed_digits(scalars, c)
+        src0, neg0, unrolled, scanned, final_idx = _build_schedule(digits, n, c)
+        pts = self.points
+        if n < self.n:
+            pts = tuple(jnp.concatenate([t[:n], t[-1:]], axis=0) for t in pts)
+        sums = _msm_kernel(
+            pts, jnp.asarray(src0), jnp.asarray(neg0),
+            tuple((jnp.asarray(l), jnp.asarray(r)) for l, r in unrolled),
+            tuple(jnp.asarray(a) for a in scanned),
+            jnp.asarray(final_idx))
+        # host window fold: total = sum_w 2^(c*w) * T_w
+        window_sums = [g1_ops.device_to_projective(tuple(t[w] for t in sums))
+                       for w in range(sums[0].shape[0])]
+        total = G1Projective.identity()
+        for ws in reversed(window_sums):
+            for _ in range(c):
+                total = total.double()
+            total = total + ws
+        return total
+
+
+def msm_device(points: list[G1Affine], scalars: list[Fr]) -> G1Projective:
+    """One-shot device MSM (context built per call; cache MSMContext for hot
+    paths like CommitKey.commit)."""
+    assert len(points) >= len(scalars)
+    return MSMContext(points[: len(scalars)]).msm(scalars)
