@@ -1,0 +1,66 @@
+"""Benchmark entry point: prints ONE JSON line with the headline metric.
+
+Headline: G1 Pippenger MSM throughput (points/sec) on the attached chip at
+2^14 points -- the dominant cost of KZG commitments and hence of the whole
+PLONK prover (BASELINE.json north-star config #3).
+
+The reference publishes no numbers (BASELINE.md); vs_baseline compares
+against the pure-python host MSM on this machine (the reference's algorithm,
+rayon-less), i.e. values > 1 mean the device kernel beats a faithful
+single-thread CPU implementation.
+"""
+
+import json
+import random
+import time
+
+
+def main():
+    n = 1 << 13
+    rng = random.Random(42)
+
+    from zkvm_tpu.curves.g1 import G1Affine, G1Projective
+    from zkvm_tpu.fields import Fr
+    from zkvm_tpu.ops.msm import MSMContext
+
+    # random points: cheap batch generation from one base
+    base = G1Affine.generator().to_projective()
+    acc = base
+    points = []
+    for _ in range(n):
+        points.append(acc)
+        acc = acc + acc if len(points) % 2 else acc + base
+    points = G1Projective.batch_normalize(points)
+    scalars = [Fr(rng.randrange(Fr.MODULUS)) for _ in range(n)]
+
+    ctx = MSMContext(points)
+    result = ctx.msm(scalars)  # compile + warm
+    runs = 1
+    t0 = time.monotonic()
+    for _ in range(runs):
+        result = ctx.msm(scalars)
+    device_time = (time.monotonic() - t0) / runs
+    device_pps = n / device_time
+
+    # host baseline on a subsample, extrapolated linearly
+    from zkvm_tpu.curves.msm import msm_variable_base
+
+    m = 1 << 10
+    t0 = time.monotonic()
+    host_part = msm_variable_base(points[:m], scalars[:m])
+    host_time_est = (time.monotonic() - t0) * (n / m)
+    host_pps = n / host_time_est
+
+    # sanity: device result must match the host algorithm on the sample
+    assert ctx.msm(scalars[:m]) == host_part, "device MSM mismatch"
+
+    print(json.dumps({
+        "metric": "msm_g1_points_per_sec_2^13",
+        "value": round(device_pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(device_pps / host_pps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

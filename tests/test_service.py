@@ -1,0 +1,87 @@
+"""Service layer tests: file formats, circuit cache, batch pipeline."""
+
+import os
+
+import pytest
+
+from zkvm_tpu.fields import Fr
+from zkvm_tpu.merkle import Item
+from zkvm_tpu.merkle.poseidon_tree import PoseidonTree
+from zkvm_tpu.service import (BatchProofConfig, LeafInfo, MultipleLeavesData,
+                              OpeningCircuit, ZKProofData,
+                              process_batch_proofs_with_config)
+from zkvm_tpu.service.formats import (prover_cache_from_bytes,
+                                      prover_cache_to_bytes)
+
+
+def test_multiple_leaves_rkyv_roundtrip():
+    data = MultipleLeavesData(
+        root_hash=bytes(range(32)),
+        leaves_info=[
+            LeafInfo(position=5, leaf_hash=bytes([7] * 32),
+                     proof_bytes=b"abcdef"),
+            LeafInfo(position=9, leaf_hash=bytes([9] * 32),
+                     proof_bytes=b"x" * 31),
+        ])
+    blob = data.to_rkyv_bytes()
+    back = MultipleLeavesData.from_rkyv_bytes(blob)
+    assert back.root_hash == data.root_hash
+    assert len(back.leaves_info) == 2
+    for a, b in zip(back.leaves_info, data.leaves_info):
+        assert (a.position, a.leaf_hash, a.proof_bytes) == (
+            b.position, b.leaf_hash, b.proof_bytes)
+
+
+def test_zkproof_rkyv_roundtrip():
+    for payload in (b"", b"q", b"hello world" * 13):
+        assert ZKProofData.from_rkyv_bytes(
+            ZKProofData(payload).to_rkyv_bytes()).data == payload
+
+
+def test_prover_cache_roundtrip():
+    cap, blob = prover_cache_from_bytes(prover_cache_to_bytes(13, b"PROVER"))
+    assert cap == 13 and blob == b"PROVER"
+
+
+def test_opening_circuit_size_is_witness_independent():
+    c1 = OpeningCircuit.default_for_height(2)
+    tree = PoseidonTree(2)
+    for i in range(5):
+        tree.insert(i, Item(Fr(i + 50), None))
+    c2 = OpeningCircuit(tree.opening(3), Item(Fr(53), None))
+    assert c1.size() == c2.size() > 0
+
+
+@pytest.mark.slow
+def test_batch_pipeline_end_to_end(tmp_path):
+    height = 2
+    tree = PoseidonTree(height)
+    leaves = [Fr(1000 + i) for i in range(3)]
+    for i, leaf in enumerate(leaves):
+        tree.insert(i, Item(leaf, None))
+    infos = [
+        LeafInfo(position=i, leaf_hash=leaf.to_bytes(),
+                 proof_bytes=tree.opening(i).to_var_bytes())
+        for i, leaf in enumerate(leaves)
+    ]
+    # corrupt one leaf: wrong hash -> must be skipped, not fatal
+    infos.append(LeafInfo(position=0, leaf_hash=Fr(4242).to_bytes(),
+                          proof_bytes=tree.opening(0).to_var_bytes()))
+    input_file = tmp_path / "merkle_some.bin"
+    input_file.write_bytes(
+        MultipleLeavesData(tree.root().hash.to_bytes(), infos).to_rkyv_bytes())
+
+    config = BatchProofConfig(
+        merkle_input_file=str(input_file),
+        circuit_cache_file=str(tmp_path / "circuit_prove.bin"),
+        verifier_file=str(tmp_path / "verifier.bin"),
+        output_dir=str(tmp_path / "out"),
+        capacity=11,
+        tree_height=height)
+    proven = process_batch_proofs_with_config(config)
+    assert proven == 3
+    assert os.path.exists(tmp_path / "out" / "plonk_proof_1.bin")
+    assert os.path.exists(tmp_path / "out" / "plonk_publicinputs_3.bin")
+    # second run hits the circuit cache (same capacity)
+    proven2 = process_batch_proofs_with_config(config)
+    assert proven2 == 3

@@ -121,43 +121,41 @@ JUBJUB_FR = FieldSpec("JubjubFr", params.JUBJUB_FR_MODULUS, 16)
 # Core kernels.  All take/return uint32 [..., L] tensors; `spec` is static.
 # =============================================================================
 
-@functools.lru_cache(maxsize=None)
-def _routing_tensors(l_a: int, l_b: int, n_cols: int):
-    """One-hot column-routing matrices for the schoolbook product.
-
-    d_lo[(i, j), k] = 1 iff i + j == k     (low 16 bits of a_i * b_j)
-    d_hi[(i, j), k] = 1 iff i + j + 1 == k (high 16 bits)
-    """
-    d_lo = np.zeros((l_a * l_b, n_cols), dtype=np.uint32)
-    d_hi = np.zeros((l_a * l_b, n_cols), dtype=np.uint32)
-    for i in range(l_a):
-        for j in range(l_b):
-            if i + j < n_cols:
-                d_lo[i * l_b + j, i + j] = 1
-            if i + j + 1 < n_cols:
-                d_hi[i * l_b + j, i + j + 1] = 1
-    # cache host arrays (a cached jnp array created inside a trace would leak
-    # tracers); jnp.asarray at the use site folds them into constants
-    return np.stack([d_lo, d_hi])
-
-
 def _mul_accum(a: jnp.ndarray, b, n_cols: int) -> jnp.ndarray:
     """Column accumulator of the schoolbook product a*b (no carry norm).
 
     a: [..., La] normalized 16-bit limbs; b: [..., Lb] tensor or a host
     np.uint32[Lb] constant vector.  Returns [..., n_cols] uint32 columns,
-    each < 2^22 (sum of <= 2*min(La,Lb) pieces < 2^16).  Implemented as one
-    exact u32 outer product + one integer matmul with the routing tensor.
+    each < 2^22 (sum of <= 2*min(La,Lb) pieces < 2^16).
+
+    One lax.scan over b's limbs; each step adds the shifted partial product
+    (lo/hi 16-bit pieces of a * b_j) into an [..., La+Lb] accumulator via a
+    dynamic-slice window.  Intermediates stay operand-sized (no outer
+    product) and the traced graph is constant in limb count.
     """
     if isinstance(b, np.ndarray):
-        b = jnp.asarray(b)
+        b = jnp.broadcast_to(jnp.asarray(b, dtype=jnp.uint32), a.shape)
     l_a = a.shape[-1]
     l_b = b.shape[-1]
-    prod = a[..., :, None] * b[..., None, :]  # exact: < 2^32
-    pieces = jnp.stack([prod & LIMB_MASK, prod >> LIMB_BITS], axis=-3)
-    routing = jnp.asarray(_routing_tensors(l_a, l_b, n_cols))  # [2, La*Lb, k]
-    flat = pieces.reshape(pieces.shape[:-2] + (l_a * l_b,))
-    return jnp.einsum("...cm,cmk->...k", flat, routing)
+    acc0 = jnp.zeros(a.shape[:-1] + (l_a + l_b,), dtype=jnp.uint32)
+    zeros1 = jnp.zeros(a.shape[:-1] + (1,), dtype=jnp.uint32)
+
+    def body(acc, j):
+        bj = jax.lax.dynamic_index_in_dim(b, j, axis=b.ndim - 1,
+                                          keepdims=True)
+        p = a * bj  # exact: < 2^32
+        contrib = (jnp.concatenate([p & LIMB_MASK, zeros1], axis=-1)
+                   + jnp.concatenate([zeros1, p >> LIMB_BITS], axis=-1))
+        window = jax.lax.dynamic_slice_in_dim(acc, j, l_a + 1, axis=acc.ndim - 1)
+        acc = jax.lax.dynamic_update_slice_in_dim(
+            acc, window + contrib, j, axis=acc.ndim - 1)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(l_b))
+    if n_cols > l_a + l_b:
+        pad = [(0, 0)] * (acc.ndim - 1) + [(0, n_cols - l_a - l_b)]
+        return jnp.pad(acc, pad)
+    return acc[..., :n_cols]
 
 
 def _carry16(acc: jnp.ndarray, n_out: int) -> jnp.ndarray:
@@ -262,15 +260,13 @@ def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(spec, a, a)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _mont_mul_const_impl(spec: FieldSpec, a: jnp.ndarray, c_tuple: tuple) -> jnp.ndarray:
-    c_mont = np.array(c_tuple, dtype=np.uint32)
-    return _mont_reduce(spec, _mul_accum(a, c_mont, 2 * spec.n_limbs))
-
-
 def mont_mul_const(spec: FieldSpec, a: jnp.ndarray, c_mont: np.ndarray) -> jnp.ndarray:
-    """Montgomery product with a host-constant operand (folds limb constants)."""
-    return _mont_mul_const_impl(spec, a, tuple(int(x) for x in c_mont))
+    """Montgomery product with a host-constant operand.
+
+    Reuses the generic mont_mul kernel (one jit specialization per shape,
+    not per constant -- the matmul formulation gains nothing from folding)."""
+    c = jnp.broadcast_to(jnp.asarray(c_mont, dtype=jnp.uint32), a.shape)
+    return mont_mul(spec, a, c)
 
 
 def to_mont(spec: FieldSpec, a_raw: jnp.ndarray) -> jnp.ndarray:

@@ -36,7 +36,21 @@ from . import g1_ops
 from . import limb_field as lf
 from .limb_field import FQ
 
-DEVICE_MSM_THRESHOLD = 1024  # below this the host MSM wins (no transfers)
+def _device_threshold() -> int:
+    """Minimum MSM size for the device path.
+
+    On TPU the batched kernel wins early; on CPU (tests, dev boxes) the
+    pure-python host MSM beats XLA emulation until sizes get large."""
+    import jax
+
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return 1024 if platform != "cpu" else 8192
+
+
+DEVICE_MSM_THRESHOLD = 1024  # re-evaluated lazily via _device_threshold()
 
 _UNROLLED_ROUNDS = 4  # large early rounds traced individually; rest scanned
 
@@ -208,20 +222,56 @@ def _msm_kernel(points, src0, neg0, unrolled, scanned, final_idx):
 
     buf = _with_identity(buf)
     buckets = _gather(buf, final_idx)  # [W, B] bucket sums
+    return _weighted_bucket_fold(buckets)
 
-    # weighted fold: sum_b b*S_b via running suffix sums, highest bucket first
-    w_shape = (buckets[0].shape[0],)
-    init = (g1_ops.identity_batch(w_shape), g1_ops.identity_batch(w_shape))
 
-    def fold_body(carry, s_b):
+def _weighted_bucket_fold(buckets):
+    """sum_b b*S_b over [W, B] buckets in ~2*sqrt(B) serial steps.
+
+    Split b = j*m + i (i in 1..m): the total is
+        sum_j weighted_j  +  m * sum_j j*sum_j
+    where weighted_j = sum_i i*S_{j,i} and sum_j = sum_i S_{j,i}.  Both inner
+    quantities come from one m-step running-sum scan batched over all chunks;
+    the outer combination is one k-step scan.  The traced graph stays at a
+    handful of point additions regardless of B.
+    """
+    w, b = buckets[0].shape[:2]
+    m = 1 << ((b.bit_length() - 1 + 1) // 2)  # ~sqrt(B), power of two
+    m = min(m, b)
+    assert b % m == 0
+    k = b // m
+    # [W, B] -> [W, k, m] -> inner scan over i (reversed: highest i first)
+    chunked = tuple(t.reshape((w, k, m) + t.shape[2:]) for t in buckets)
+    inner_xs = tuple(jnp.moveaxis(t[:, :, ::-1], 2, 0) for t in chunked)
+
+    init = (g1_ops.identity_batch((w, k)), g1_ops.identity_batch((w, k)))
+
+    def inner_body(carry, s_b):
         running, total = carry
         running = g1_ops.padd(running, s_b)
         total = g1_ops.padd(total, running)
         return (running, total), None
 
-    rev = tuple(t[:, ::-1].swapaxes(0, 1) for t in buckets)  # [B, W, L]
-    (_, total), _ = jax.lax.scan(fold_body, init, rev)
-    return total  # [W] window sums
+    (chunk_sums, chunk_weighted), _ = jax.lax.scan(inner_body, init, inner_xs)
+
+    # outer scan over chunks, highest j first:
+    #   tot2 accumulates sum_j j*sum_j, acc_w accumulates sum_j weighted_j
+    outer_xs = tuple(jnp.moveaxis(t[:, ::-1], 1, 0)
+                     for t in (chunk_sums + chunk_weighted))
+    o_init = tuple(g1_ops.identity_batch((w,)) for _ in range(3))
+
+    def outer_body(carry, xs):
+        run2, tot2, acc_w = carry
+        s_x, s_y, s_z, w_x, w_y, w_z = xs
+        tot2 = g1_ops.padd(tot2, run2)
+        run2 = g1_ops.padd(run2, (s_x, s_y, s_z))
+        acc_w = g1_ops.padd(acc_w, (w_x, w_y, w_z))
+        return (run2, tot2, acc_w), None
+
+    (_, tot2, acc_w), _ = jax.lax.scan(outer_body, o_init, outer_xs)
+    for _ in range(m.bit_length() - 1):  # tot2 *= m
+        tot2 = g1_ops.pdouble(tot2)
+    return g1_ops.padd(acc_w, tot2)  # [W] window sums
 
 
 # -----------------------------------------------------------------------------
@@ -239,16 +289,21 @@ class MSMContext:
         self.n = len(points)
 
     def msm(self, scalars: list[Fr]) -> G1Projective:
-        n = len(scalars)
-        assert n <= self.n
-        if n == 0:
+        """MSM of the first len(scalars) points.
+
+        Scalars are zero-padded to the full point-set length: padded slots
+        decompose to all-zero digits (dead lanes), so correctness is
+        unaffected while every call shares ONE kernel specialization."""
+        if not scalars:
             return G1Projective.identity()
+        assert len(scalars) <= self.n
+        n = self.n
+        if len(scalars) < n:
+            scalars = list(scalars) + [Fr.zero()] * (n - len(scalars))
         c = _window_bits(n)
         digits = _signed_digits(scalars, c)
         src0, neg0, unrolled, scanned, final_idx = _build_schedule(digits, n, c)
         pts = self.points
-        if n < self.n:
-            pts = tuple(jnp.concatenate([t[:n], t[-1:]], axis=0) for t in pts)
         sums = _msm_kernel(
             pts, jnp.asarray(src0), jnp.asarray(neg0),
             tuple((jnp.asarray(l), jnp.asarray(r)) for l, r in unrolled),

@@ -33,19 +33,31 @@ def bit_reverse_indices(n: int) -> np.ndarray:
     return rev
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _ntt_impl(n: int, x: jnp.ndarray, brev: jnp.ndarray, stage_twiddles: tuple) -> jnp.ndarray:
-    """Iterative CT NTT; x: [n, L] Montgomery; output natural order evals."""
-    L = x.shape[-1]
+@jax.jit
+def _ntt_impl(x: jnp.ndarray, brev: jnp.ndarray, even_idx: jnp.ndarray,
+              odd_idx: jnp.ndarray, out_idx: jnp.ndarray,
+              tw_idx: jnp.ndarray, tw_table: jnp.ndarray) -> jnp.ndarray:
+    """Iterative CT NTT; x: [n, L] Montgomery; output natural order evals.
+
+    Every butterfly stage runs over the same flat [n, L] array shape (gather
+    indices and twiddle-table lookups precomputed per stage on the host), so
+    the whole transform is ONE lax.scan over log2(n) stages -- the traced
+    graph holds a single Montgomery multiply regardless of n, and each stage
+    is a batched [n/2, L] butterfly over the VPU.
+    """
     x = jnp.take(x, brev, axis=0)
-    log_n = n.bit_length() - 1
-    for s in range(log_n):
-        half = 1 << s
-        xs = x.reshape(n // (2 * half), 2, half, L)
-        even, odd = xs[:, 0], xs[:, 1]
-        tw = stage_twiddles[s][None, :, :]
-        t = lf.mont_mul(FR, odd, jnp.broadcast_to(tw, odd.shape))
-        x = jnp.stack([lf.add(FR, even, t), lf.sub(FR, even, t)], axis=1).reshape(n, L)
+
+    def stage(state, inputs):
+        e_idx, o_idx, g_idx, t_idx = inputs
+        even = jnp.take(state, e_idx, axis=0)
+        odd = jnp.take(state, o_idx, axis=0)
+        tw = jnp.take(tw_table, t_idx, axis=0)
+        t = lf.mont_mul(FR, odd, tw)
+        cat = jnp.concatenate([lf.add(FR, even, t), lf.sub(FR, even, t)],
+                              axis=0)
+        return jnp.take(cat, g_idx, axis=0), None
+
+    x, _ = jax.lax.scan(stage, x, (even_idx, odd_idx, out_idx, tw_idx))
     return x
 
 
@@ -82,23 +94,52 @@ class Domain:
         self.generator = params.FR_GENERATOR  # coset shift g = 7
         self.generator_inv = pow(self.generator, -1, q)
         self._brev = jnp.asarray(bit_reverse_indices(size))
-        self._fwd_tw = self._stage_twiddles(self.group_gen)
-        self._inv_tw = self._stage_twiddles(self.group_gen_inv)
+        self._stage_indexes = self._build_stage_indexes()
+        self._fwd_tw = self._twiddle_tables(self.group_gen)
+        self._inv_tw = self._twiddle_tables(self.group_gen_inv)
         # lazy per-use factor tables
         self._factors: dict[str, jnp.ndarray] = {}
 
-    def _stage_twiddles(self, root: int) -> tuple:
+    def _build_stage_indexes(self):
+        """Per-stage flat gather indexes for the scanned butterfly.
+
+        Stage s pairs (b*2h + t, b*2h + h + t) for h = 2^s; outputs land at
+        the same positions, gathered from concat([plus, minus]).
+        """
+        n = self.size
+        log_n = self.log_size
+        if log_n == 0:
+            z = np.zeros((0, 0), dtype=np.int32)
+            return (jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+                    jnp.asarray(z))
+        even = np.zeros((log_n, n // 2), dtype=np.int32)
+        odd = np.zeros((log_n, n // 2), dtype=np.int32)
+        out = np.zeros((log_n, n), dtype=np.int32)
+        twi = np.zeros((log_n, n // 2), dtype=np.int32)
+        k = np.arange(n // 2)
+        j = np.arange(n)
+        for s in range(log_n):
+            h = 1 << s
+            b = k // h
+            t = k % h
+            even[s] = b * 2 * h + t
+            odd[s] = b * 2 * h + h + t
+            jb = j // (2 * h)
+            jr = j % (2 * h)
+            out[s] = np.where(jr < h, jb * h + jr, n // 2 + jb * h + jr - h)
+            # stage twiddle for pair k is root^((n >> (s+1)) * (k % h))
+            twi[s] = (n >> (s + 1)) * t
+        return (jnp.asarray(even), jnp.asarray(odd), jnp.asarray(out),
+                jnp.asarray(twi))
+
+    def _twiddle_tables(self, root: int) -> jnp.ndarray:
+        """[max(n/2, 1), L] Montgomery table of root powers."""
         q = params.FR_MODULUS
-        out = []
-        for s in range(self.log_size):
-            m = 2 << s
-            wm = pow(root, self.size // m, q)
-            powers, cur = [], 1
-            for _ in range(m // 2):
-                powers.append(cur)
-                cur = cur * wm % q
-            out.append(FR.to_mont_array(powers))
-        return tuple(out)
+        powers, cur = [], 1
+        for _ in range(max(self.size // 2, 1)):
+            powers.append(cur)
+            cur = cur * root % q
+        return FR.to_mont_array(powers)
 
     def _factor(self, key: str) -> jnp.ndarray:
         """Precomputed pointwise factor arrays (Montgomery form, [n, L])."""
@@ -125,21 +166,27 @@ class Domain:
         return out
 
     # ---- device transforms (Montgomery [n, L] tensors) ----------------------
+    def _run(self, x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+        if self.size == 1:
+            return x
+        even, odd, out, twi = self._stage_indexes
+        return _ntt_impl(x, self._brev, even, odd, out, twi, table)
+
     def fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         assert coeffs.shape[0] == self.size
-        return _ntt_impl(self.size, coeffs, self._brev, self._fwd_tw)
+        return self._run(coeffs, self._fwd_tw)
 
     def ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
-        out = _ntt_impl(self.size, evals, self._brev, self._inv_tw)
+        out = self._run(evals, self._inv_tw)
         return _scale(FR, out, self._factor("size_inv"))
 
     def coset_fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         """Evaluate over the coset g*H (distribute powers of g, then FFT)."""
         shifted = _scale(FR, coeffs, self._factor("coset"))
-        return self.fft_device(shifted)
+        return self._run(shifted, self._fwd_tw)
 
     def coset_ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
-        out = _ntt_impl(self.size, evals, self._brev, self._inv_tw)
+        out = self._run(evals, self._inv_tw)
         return _scale(FR, out, self._factor("coset_inv_scaled"))
 
     # ---- host conveniences (lists of Fr) -------------------------------------

@@ -7,7 +7,21 @@ proof/key serialization.  Hot polynomial work (NTT, MSM, pointwise quotient)
 runs on device via zkvm_tpu.ops.
 """
 
-from .polynomial import Polynomial
+from .composer import Circuit, Composer
+from .compiler import Compiler
+from .constraint_system import Constraint, Witness, WitnessPoint
+from .errors import PlonkError, ProofVerificationError
 from .evaluations import Evaluations
+from .kzg10 import Commitment, CommitKey, OpeningKey, PublicParameters
+from .polynomial import Polynomial
+from .proof import Proof
+from .prover import Prover
+from .transcript import Transcript
+from .verifier import Verifier
 
-__all__ = ["Polynomial", "Evaluations"]
+__all__ = [
+    "Circuit", "Commitment", "CommitKey", "Compiler", "Composer",
+    "Constraint", "Evaluations", "OpeningKey", "PlonkError", "Polynomial",
+    "Proof", "ProofVerificationError", "Prover", "PublicParameters",
+    "Transcript", "Verifier", "Witness", "WitnessPoint",
+]

@@ -30,12 +30,21 @@ def powers_of(x: Fr, degree: int) -> list[Fr]:
     return out
 
 
-def _commit_msm(points: list[G1Affine], scalars: list[Fr]) -> G1Projective:
+_msm_contexts: dict[int, object] = {}
+
+
+def _commit_msm(commit_key: "CommitKey", scalars: list[Fr]) -> G1Projective:
     from ..ops import msm as device_msm
 
-    if len(scalars) >= device_msm.DEVICE_MSM_THRESHOLD:
-        return device_msm.msm_device(points, scalars)
-    return msm_variable_base(points, scalars)
+    points = commit_key.powers_of_g
+    if len(points) < device_msm._device_threshold():
+        return msm_variable_base(points[: len(scalars)], scalars)
+    # one device context (and one kernel specialization) per commit key
+    ctx = _msm_contexts.get(id(commit_key))
+    if ctx is None or ctx.n != len(points):
+        ctx = device_msm.MSMContext(points)
+        _msm_contexts[id(commit_key)] = ctx
+    return ctx.msm(scalars)
 
 
 class Commitment:
@@ -128,13 +137,14 @@ class CommitKey:
         return CommitKey(self.powers_of_g[: truncated_degree + 1])
 
     def commit(self, polynomial: Polynomial) -> Commitment:
+        # degree-0 (constant or zero) polynomials are rejected, mirroring
+        # check_commit_degree_is_within_bounds (key.rs:108-117)
         degree = polynomial.degree()
-        if polynomial.is_zero() or not polynomial.coeffs:
+        if degree == 0:
             raise KZGError("polynomial degree is zero")
         if degree > self.max_degree():
             raise KZGError("polynomial degree too large")
-        return Commitment(_commit_msm(self.powers_of_g[: len(polynomial.coeffs)],
-                                      polynomial.coeffs))
+        return Commitment(_commit_msm(self, polynomial.coeffs))
 
     @staticmethod
     def compute_aggregate_witness(polynomials: list[Polynomial], point: Fr,

@@ -1,0 +1,97 @@
+"""Copy-constraint permutation argument (plonk/src/composer/permutation.rs).
+
+Builds the four sigma cycle mappings from witness wire usage, converts them
+to Lagrange-basis polynomials over the cosets {1, K1, K2, K3}*H, and computes
+the grand-product accumulator z.  Cycle construction stays host-side (tiny,
+pointer-chasing); the grand product over the full domain is a prefix scan --
+device offload happens in the prover once wire vectors are device-resident.
+"""
+
+from __future__ import annotations
+
+from .. import params
+from ..fields import Fr
+from ..ops.ntt import Domain, _batch_inverse
+from .constraint_system import Witness, WireData
+from .polynomial import Polynomial
+
+_Q = Fr.MODULUS
+
+K1 = Fr(params.K1)
+K2 = Fr(params.K2)
+K3 = Fr(params.K3)
+
+
+class Permutation:
+    """Witness -> wire-usage map (permutation.rs:16-74)."""
+
+    def __init__(self):
+        self.witness_map: dict[Witness, list[WireData]] = {}
+
+    def new_witness(self) -> Witness:
+        witness = Witness(len(self.witness_map))
+        self.witness_map[witness] = []
+        return witness
+
+    def add_witnesses_to_map(self, a: Witness, b: Witness, c: Witness,
+                             d: Witness, gate_index: int) -> None:
+        self.witness_map[a].append(WireData(WireData.LEFT, gate_index))
+        self.witness_map[b].append(WireData(WireData.RIGHT, gate_index))
+        self.witness_map[c].append(WireData(WireData.OUTPUT, gate_index))
+        self.witness_map[d].append(WireData(WireData.FOURTH, gate_index))
+
+    def compute_sigma_permutations(self, n: int) -> list[list[WireData]]:
+        """Cycle-rotated sigma mappings (permutation.rs:76-109)."""
+        sigmas = [[WireData(kind, i) for i in range(n)] for kind in range(4)]
+        for wire_data_entries in self.witness_map.values():
+            m = len(wire_data_entries)
+            for wire_index, current in enumerate(wire_data_entries):
+                nxt = wire_data_entries[(wire_index + 1) % m]
+                sigmas[current.kind][current.gate] = nxt
+        return sigmas
+
+    @staticmethod
+    def _lagrange_mapping(sigma_mapping: list[WireData],
+                          roots: list[int]) -> list[Fr]:
+        ks = (1, params.K1, params.K2, params.K3)
+        return [Fr(ks[wd.kind] * roots[wd.gate] % _Q) for wd in sigma_mapping]
+
+    def compute_sigma_polynomials(self, n: int,
+                                  domain: Domain) -> list[Polynomial]:
+        """Sigma values -> coefficient form via 4 iFFTs (permutation.rs:143-179)."""
+        sigmas = self.compute_sigma_permutations(n)
+        roots = domain._powers(domain.group_gen)
+        return [Polynomial(domain.ifft(self._lagrange_mapping(s, roots)))
+                for s in sigmas]
+
+    def compute_permutation_vec(self, domain: Domain,
+                                wires: list[list[Fr]],
+                                beta: Fr, gamma: Fr,
+                                sigma_polys: list[Polynomial]) -> list[Fr]:
+        """Grand-product accumulator z over the domain (permutation.rs:181-245)."""
+        n = domain.size
+        ks = (1, params.K1, params.K2, params.K3)
+        b, g = beta.value, gamma.value
+        sigma_evals = [[e.value for e in domain.fft(p.coeffs)]
+                       for p in sigma_polys]
+        roots = domain._powers(domain.group_gen)
+
+        denominators = []
+        numerators = []
+        for i in range(n):
+            num, den = 1, 1
+            root = roots[i]
+            for wire, k, sig in zip(wires, ks, sigma_evals):
+                w = wire[i].value
+                num = num * ((w + b * k % _Q * root + g) % _Q) % _Q
+                den = den * ((w + b * sig[i] + g) % _Q) % _Q
+            numerators.append(num)
+            denominators.append(den)
+        inv_dens = _batch_inverse(denominators, _Q)
+
+        acc = []
+        state = 1
+        for num, inv in zip(numerators, inv_dens):
+            acc.append(Fr(state))
+            state = state * num % _Q * inv % _Q
+        return acc
