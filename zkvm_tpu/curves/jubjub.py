@@ -295,3 +295,58 @@ def hash_to_point(data: bytes) -> JubjubExtended:
 def map_to_point(value: int) -> JubjubExtended:
     """Embed a u64 into the prime-order subgroup (coset.rs map_to_point)."""
     return hash_to_point(int(value).to_bytes(8, "little"))
+
+
+class ElgamalCipher:
+    """ElGamal encryption over Jubjub (coset-jubjub/src/elgamal.rs:16-100).
+
+    Homomorphic: ciphertexts add/subtract pointwise and scale by scalars.
+    """
+
+    __slots__ = ("gamma", "delta")
+
+    SIZE = 64
+
+    def __init__(self, gamma: JubjubExtended, delta: JubjubExtended):
+        self.gamma = gamma
+        self.delta = delta
+
+    @classmethod
+    def encrypt(cls, secret: JubjubFr, public: JubjubExtended,
+                generator: JubjubExtended,
+                message: JubjubExtended) -> "ElgamalCipher":
+        return cls(generator * secret, message + public * secret)
+
+    def decrypt(self, secret: JubjubFr) -> JubjubExtended:
+        return self.delta - self.gamma * secret
+
+    def to_bytes(self) -> bytes:
+        return (self.gamma.to_affine().to_bytes()
+                + self.delta.to_affine().to_bytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes):
+        if len(buf) != 64:
+            return None
+        gamma = JubjubAffine.from_bytes(buf[:32])
+        delta = JubjubAffine.from_bytes(buf[32:])
+        if gamma is None or delta is None:
+            return None
+        return cls(gamma.to_extended(), delta.to_extended())
+
+    def __eq__(self, other):
+        return (isinstance(other, ElgamalCipher)
+                and self.gamma == other.gamma and self.delta == other.delta)
+
+    def __add__(self, other):
+        return ElgamalCipher(self.gamma + other.gamma,
+                             self.delta + other.delta)
+
+    def __sub__(self, other):
+        return ElgamalCipher(self.gamma - other.gamma,
+                             self.delta - other.delta)
+
+    def __mul__(self, scalar):
+        return ElgamalCipher(self.gamma * scalar, self.delta * scalar)
+
+    __rmul__ = __mul__

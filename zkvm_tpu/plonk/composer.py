@@ -470,3 +470,11 @@ class Circuit:
         except Exception:
             return 0
         return len(composer.constraints)
+
+    def compress(self) -> bytes:
+        """Portable circuit description (circuit.rs:24-33)."""
+        from .compress import CompressedCircuit
+
+        composer = Composer.initialized()
+        self.circuit(composer)
+        return CompressedCircuit.from_composer(True, composer)
