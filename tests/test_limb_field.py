@@ -20,7 +20,7 @@ def rand_elems(spec, n, seed):
 def test_roundtrip(spec):
     vals = rand_elems(spec, 32, 11)
     arr = spec.to_mont_array(vals)
-    assert arr.shape == (32, spec.n_limbs)
+    assert arr.shape == (spec.n_limbs, 32)
     assert spec.from_mont_array(arr) == vals
 
 
@@ -60,7 +60,9 @@ def test_mont_mul(spec):
 def test_mont_mul_jit_and_batch_shapes():
     spec = FR
     a_vals = rand_elems(spec, 24, 41)
-    a = spec.to_mont_array(a_vals).reshape(2, 3, 4, spec.n_limbs)
+    # [L, 24] -> [2, 3, L, 4]: extra batch dims lead, limbs stay second-minor
+    a = jnp.moveaxis(spec.to_mont_array(a_vals).reshape(spec.n_limbs, 2, 3, 4),
+                     0, 2)
     f = jax.jit(lambda x, y: lf.mont_mul(spec, x, y))
     out = f(a, a)
     assert out.shape == a.shape
@@ -75,7 +77,7 @@ def test_to_from_mont_and_const_mul():
     m = lf.to_mont(spec, raw)
     assert spec.from_mont_array(m) == vals
     back = lf.from_mont(spec, m)
-    assert [lf.limbs_to_int(r) for r in np.asarray(back)] == vals
+    assert [lf.limbs_to_int(r) for r in np.asarray(back).T] == vals
     # multiply by the constant 7 (Montgomery-encoded host constant)
     c = lf.int_to_limbs(7 * spec.R % spec.modulus, spec.n_limbs)
     got = spec.from_mont_array(lf.mont_mul_const(spec, m, c))

@@ -1,7 +1,8 @@
 """Batched G1 point arithmetic on device (uint32-limb tensors over Fq).
 
-A point batch is a tuple (x, y, z) of [..., 24] Montgomery-limb tensors
-(homogeneous projective).  The group law is the same complete RCB15 algebra
+A point batch is a tuple (x, y, z) of [..., 24, B] Montgomery-limb tensors
+(homogeneous projective; limb-major layout -- limbs on sublanes, batch on
+vector lanes).  The group law is the same complete RCB15 algebra
 as the host implementation (zkvm_tpu/curves/weierstrass.py; reference
 coset-bls12_381/src/g1.rs:425-530) -- branch-free and identity-safe, so the
 whole MSM pipeline is data-oblivious and fixed-shape.
@@ -26,7 +27,18 @@ def _mul_b3(t):
 
 
 def padd(p, q):
-    """Complete projective addition (RCB15 algorithm 7, a=0)."""
+    """Complete projective addition (RCB15 algorithm 7, a=0).
+
+    On TPU dispatches to the fused pallas kernel (12 Montgomery multiplies
+    in VMEM, one HBM round trip)."""
+    from . import pallas_field
+
+    if pallas_field._on_tpu():
+        return pallas_field.padd_pallas(p, q)
+    return _padd_jnp(p, q)
+
+
+def _padd_jnp(p, q):
     x1, y1, z1 = p
     x2, y2, z2 = q
     mul = lambda a, b: lf.mont_mul(FQ, a, b)
@@ -50,7 +62,17 @@ def padd(p, q):
 
 
 def pdouble(p):
-    """Complete projective doubling (RCB15 algorithm 9, a=0)."""
+    """Complete projective doubling (RCB15 algorithm 9, a=0).
+
+    On TPU the complete ADD formula doubles correctly; reuse its kernel."""
+    from . import pallas_field
+
+    if pallas_field._on_tpu():
+        return pallas_field.padd_pallas(p, p)
+    return _pdouble_jnp(p)
+
+
+def _pdouble_jnp(p):
     x, y, z = p
     mul = lambda a, b: lf.mont_mul(FQ, a, b)
     add = lambda a, b: lf.add(FQ, a, b)
@@ -84,9 +106,10 @@ def pselect(mask, p, q):
 
 
 def identity_batch(shape):
-    """Identity points (0 : 1 : 0) broadcast to batch `shape`."""
-    zeros = np.zeros(shape + (FQ.n_limbs,), dtype=np.uint32)
-    ones = np.broadcast_to(FQ.one_mont, shape + (FQ.n_limbs,)).copy()
+    """Identity points (0 : 1 : 0) with batch dims (*shape[:-1], L, shape[-1])."""
+    full = shape[:-1] + (FQ.n_limbs,) + shape[-1:]
+    zeros = np.zeros(full, dtype=np.uint32)
+    ones = np.broadcast_to(FQ.one_mont[:, None], full).copy()
     import jax.numpy as jnp
 
     return (jnp.asarray(zeros), jnp.asarray(ones), jnp.asarray(zeros))
@@ -95,19 +118,19 @@ def identity_batch(shape):
 # ---- host <-> device conversion ---------------------------------------------
 
 def affine_to_device(points: list[G1Affine]):
-    """Encode affine points as projective Montgomery limb tensors [n, 24]."""
+    """Encode affine points as projective Montgomery limb tensors [24, n]."""
     n = len(points)
-    xs = np.zeros((n, FQ.n_limbs), dtype=np.uint32)
-    ys = np.zeros((n, FQ.n_limbs), dtype=np.uint32)
-    zs = np.zeros((n, FQ.n_limbs), dtype=np.uint32)
+    xs = np.zeros((FQ.n_limbs, n), dtype=np.uint32)
+    ys = np.zeros((FQ.n_limbs, n), dtype=np.uint32)
+    zs = np.zeros((FQ.n_limbs, n), dtype=np.uint32)
     one = np.asarray(FQ.one_mont)
     for i, p in enumerate(points):
         if p.infinity:
-            ys[i] = one
+            ys[:, i] = one
         else:
-            xs[i] = lf.int_to_limbs(p.x.value * FQ.R % FQ.modulus, FQ.n_limbs)
-            ys[i] = lf.int_to_limbs(p.y.value * FQ.R % FQ.modulus, FQ.n_limbs)
-            zs[i] = one
+            xs[:, i] = lf.int_to_limbs(p.x.value * FQ.R % FQ.modulus, FQ.n_limbs)
+            ys[:, i] = lf.int_to_limbs(p.y.value * FQ.R % FQ.modulus, FQ.n_limbs)
+            zs[:, i] = one
     import jax.numpy as jnp
 
     return (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs))
@@ -117,6 +140,7 @@ def device_to_projective(p, index=None) -> G1Projective:
     """Decode one device point (or batch element `index`) to the host type."""
     x, y, z = p
     if index is not None:
-        x, y, z = x[index], y[index], z[index]
-    xv, yv, zv = (FQ.from_mont_array(t.reshape(1, -1))[0] for t in (x, y, z))
+        x, y, z = x[..., index], y[..., index], z[..., index]
+    xv, yv, zv = (FQ.from_mont_array(t.reshape(FQ.n_limbs, -1)[:, :1])[0]
+                  for t in (x, y, z))
     return G1Projective(Fp(xv), Fp(yv), Fp(zv))

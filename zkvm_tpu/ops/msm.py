@@ -188,22 +188,24 @@ def _build_schedule(digits: np.ndarray, n: int, c: int):
 # -----------------------------------------------------------------------------
 
 def _with_identity(buf):
-    """Append one identity lane at the end of axis 1."""
+    """Append one identity lane at the end of the batch (last) axis."""
     ident = g1_ops.identity_batch((buf[0].shape[0], 1))
-    return tuple(jnp.concatenate([t, i], axis=1) for t, i in zip(buf, ident))
+    return tuple(jnp.concatenate([t, i], axis=-1) for t, i in zip(buf, ident))
 
 
 def _gather(buf, idx):
-    return tuple(jnp.take_along_axis(t, idx[:, :, None], axis=1) for t in buf)
+    """Gather lanes: buf [W, L, M], idx [W, K] -> [W, L, K]."""
+    return tuple(jnp.take_along_axis(t, idx[:, None, :], axis=2) for t in buf)
 
 
 @jax.jit
 def _msm_kernel(points, src0, neg0, unrolled, scanned, final_idx):
     # round 0: per-window signed gather of the sorted working set
+    # points: [L, N+1]; src0: [W, N] -> buffers [W, L, N]
     px, py, pz = points
-    x = jnp.take(px, src0, axis=0)
-    y = jnp.take(py, src0, axis=0)
-    z = jnp.take(pz, src0, axis=0)
+    x = jnp.moveaxis(jnp.take(px, src0, axis=1), 1, 0)
+    y = jnp.moveaxis(jnp.take(py, src0, axis=1), 1, 0)
+    z = jnp.moveaxis(jnp.take(pz, src0, axis=1), 1, 0)
     y = lf.select(neg0, lf.neg(FQ, y), y)
     buf = (x, y, z)
 
@@ -235,14 +237,14 @@ def _weighted_bucket_fold(buckets):
     the outer combination is one k-step scan.  The traced graph stays at a
     handful of point additions regardless of B.
     """
-    w, b = buckets[0].shape[:2]
+    w, n_limbs, b = buckets[0].shape
     m = 1 << ((b.bit_length() - 1 + 1) // 2)  # ~sqrt(B), power of two
     m = min(m, b)
     assert b % m == 0
     k = b // m
-    # [W, B] -> [W, k, m] -> inner scan over i (reversed: highest i first)
-    chunked = tuple(t.reshape((w, k, m) + t.shape[2:]) for t in buckets)
-    inner_xs = tuple(jnp.moveaxis(t[:, :, ::-1], 2, 0) for t in chunked)
+    # [W, L, B] -> [W, L, k, m] -> inner scan over i (highest i first)
+    chunked = tuple(t.reshape(w, n_limbs, k, m) for t in buckets)
+    inner_xs = tuple(jnp.moveaxis(t[..., ::-1], 3, 0) for t in chunked)
 
     init = (g1_ops.identity_batch((w, k)), g1_ops.identity_batch((w, k)))
 
@@ -256,9 +258,10 @@ def _weighted_bucket_fold(buckets):
 
     # outer scan over chunks, highest j first:
     #   tot2 accumulates sum_j j*sum_j, acc_w accumulates sum_j weighted_j
-    outer_xs = tuple(jnp.moveaxis(t[:, ::-1], 1, 0)
+    # chunk tensors are [W, L, k]; scan over k with [W, L, 1] carries
+    outer_xs = tuple(jnp.moveaxis(t[..., ::-1], 2, 0)[..., None]
                      for t in (chunk_sums + chunk_weighted))
-    o_init = tuple(g1_ops.identity_batch((w,)) for _ in range(3))
+    o_init = tuple(g1_ops.identity_batch((w, 1)) for _ in range(3))
 
     def outer_body(carry, xs):
         run2, tot2, acc_w = carry
@@ -282,9 +285,9 @@ class MSMContext:
     """Caches the device-resident point set (e.g. a CommitKey's powers)."""
 
     def __init__(self, points: list[G1Affine]):
-        base = g1_ops.affine_to_device(points)
-        ident = g1_ops.identity_batch((1,))
-        self.points = tuple(jnp.concatenate([b, i], axis=0)
+        base = g1_ops.affine_to_device(points)  # [L, n] coords
+        ident = g1_ops.identity_batch((1,))     # [L, 1]
+        self.points = tuple(jnp.concatenate([b, i], axis=-1)
                             for b, i in zip(base, ident))
         self.n = len(points)
 
@@ -310,8 +313,18 @@ class MSMContext:
             tuple(jnp.asarray(a) for a in scanned),
             jnp.asarray(final_idx))
         # host window fold: total = sum_w 2^(c*w) * T_w
-        window_sums = [g1_ops.device_to_projective(tuple(t[w] for t in sums))
-                       for w in range(sums[0].shape[0])]
+        # (one bulk transfer for all windows -- per-window device_get pays a
+        # full device round trip each)
+        from ..fields import Fp
+
+        host = [np.asarray(t) for t in jax.device_get(sums)]
+        rinv = pow(FQ.R, -1, FQ.modulus)
+        window_sums = []
+        for w in range(host[0].shape[0]):
+            coords = [lf.limbs_to_int(h[w, :, 0]) * rinv % FQ.modulus
+                      for h in host]
+            window_sums.append(G1Projective(Fp(coords[0]), Fp(coords[1]),
+                                            Fp(coords[2])))
         total = G1Projective.identity()
         for ws in reversed(window_sums):
             for _ in range(c):

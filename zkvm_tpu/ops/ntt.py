@@ -37,25 +37,25 @@ def bit_reverse_indices(n: int) -> np.ndarray:
 def _ntt_impl(x: jnp.ndarray, brev: jnp.ndarray, even_idx: jnp.ndarray,
               odd_idx: jnp.ndarray, out_idx: jnp.ndarray,
               tw_idx: jnp.ndarray, tw_table: jnp.ndarray) -> jnp.ndarray:
-    """Iterative CT NTT; x: [n, L] Montgomery; output natural order evals.
+    """Iterative CT NTT; x: [L, n] Montgomery; output natural order evals.
 
-    Every butterfly stage runs over the same flat [n, L] array shape (gather
+    Every butterfly stage runs over the same flat [L, n] array shape (gather
     indices and twiddle-table lookups precomputed per stage on the host), so
     the whole transform is ONE lax.scan over log2(n) stages -- the traced
     graph holds a single Montgomery multiply regardless of n, and each stage
-    is a batched [n/2, L] butterfly over the VPU.
+    is a batched [L, n/2] butterfly with the domain on the vector lanes.
     """
-    x = jnp.take(x, brev, axis=0)
+    x = jnp.take(x, brev, axis=1)
 
     def stage(state, inputs):
         e_idx, o_idx, g_idx, t_idx = inputs
-        even = jnp.take(state, e_idx, axis=0)
-        odd = jnp.take(state, o_idx, axis=0)
-        tw = jnp.take(tw_table, t_idx, axis=0)
+        even = jnp.take(state, e_idx, axis=1)
+        odd = jnp.take(state, o_idx, axis=1)
+        tw = jnp.take(tw_table, t_idx, axis=1)
         t = lf.mont_mul(FR, odd, tw)
         cat = jnp.concatenate([lf.add(FR, even, t), lf.sub(FR, even, t)],
-                              axis=0)
-        return jnp.take(cat, g_idx, axis=0), None
+                              axis=1)
+        return jnp.take(cat, g_idx, axis=1), None
 
     x, _ = jax.lax.scan(stage, x, (even_idx, odd_idx, out_idx, tw_idx))
     return x
@@ -133,7 +133,7 @@ class Domain:
                 jnp.asarray(twi))
 
     def _twiddle_tables(self, root: int) -> jnp.ndarray:
-        """[max(n/2, 1), L] Montgomery table of root powers."""
+        """[L, max(n/2, 1)] Montgomery table of root powers."""
         q = params.FR_MODULUS
         powers, cur = [], 1
         for _ in range(max(self.size // 2, 1)):
@@ -173,7 +173,7 @@ class Domain:
         return _ntt_impl(x, self._brev, even, odd, out, twi, table)
 
     def fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
-        assert coeffs.shape[0] == self.size
+        assert coeffs.shape[-1] == self.size
         return self._run(coeffs, self._fwd_tw)
 
     def ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:

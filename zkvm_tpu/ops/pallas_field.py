@@ -1,0 +1,278 @@
+"""Pallas TPU kernels for the hot field/group operations.
+
+The jnp-level kernels in limb_field/g1_ops stream every intermediate through
+HBM (each Montgomery step is a separate XLA op); these fused kernels keep
+the whole computation VMEM-resident: one HBM read of the operands, one
+write of the result.
+
+  * `hades_permute_pallas`: the full 68-round Poseidon permutation on a
+    [5, L, B] state -- the flagship hashing kernel.
+  * `padd_pallas`: complete RCB15 G1 addition on [L, B] coordinate blocks
+    (12 Montgomery muls fused) -- the MSM workhorse.
+
+Both run the same in-kernel CIOS Montgomery multiply (`_mont_mul_k`) over
+16-bit limbs: a fori_loop with a small [L+1, B] accumulator (registers/VMEM),
+magnitudes < 2^24 so no per-step carries.  On non-TPU backends the public
+wrappers fall back to the jnp implementations (bit-identical results).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .. import params
+from . import limb_field as lf
+from .limb_field import FQ, FR, LIMB_BITS, LIMB_MASK
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+# -----------------------------------------------------------------------------
+# In-kernel field arithmetic (traced helpers over jnp values)
+# -----------------------------------------------------------------------------
+
+def _mont_mul_k(spec, a, b):
+    """CIOS Montgomery product for [L, B] values inside a kernel.
+
+    Field constants enter as per-limb python scalars (pallas kernels cannot
+    capture array constants), so m*p unrolls into L scalar multiplies.
+    """
+    l = spec.n_limbs
+    np0 = int(spec.nprime & LIMB_MASK)
+    p_ints = [int(x) for x in spec.p_limbs]
+    zeros1 = jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)
+    acc = jnp.zeros((l + 1,) + a.shape[1:], dtype=jnp.uint32)
+    cat = functools.partial(jnp.concatenate, axis=0)
+    # unrolled over b's limbs; static-slice adds only (Mosaic lowers neither
+    # dynamic_slice nor scatter-add on values)
+    for j in range(l):
+        pa = a * b[j:j + 1]
+        acc = acc + cat([pa & LIMB_MASK, zeros1]) + cat([zeros1, pa >> LIMB_BITS])
+        m = ((acc[0:1] & LIMB_MASK) * np0) & LIMB_MASK
+        mp = cat([m * pk for pk in p_ints])
+        acc = acc + cat([mp & LIMB_MASK, zeros1]) + cat([zeros1, mp >> LIMB_BITS])
+        carry = acc[0:1] >> LIMB_BITS
+        acc = cat([acc[1:2] + carry, acc[2:], zeros1])
+    return _normalize_sub_p(spec, acc)
+
+
+def _mont_mul_const_k(spec, a, c_limbs):
+    """CIOS product with a compile-time constant operand (unrolled)."""
+    l = spec.n_limbs
+    np0 = int(spec.nprime & LIMB_MASK)
+    p_ints = [int(x) for x in spec.p_limbs]
+    zeros1 = jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)
+    acc = jnp.zeros((l + 1,) + a.shape[1:], dtype=jnp.uint32)
+    cat = functools.partial(jnp.concatenate, axis=0)
+    for j in range(l):
+        bj = int(c_limbs[j])
+        if bj:
+            pa = a * bj
+            acc = (acc + cat([pa & LIMB_MASK, zeros1])
+                   + cat([zeros1, pa >> LIMB_BITS]))
+        m = ((acc[0:1] & LIMB_MASK) * np0) & LIMB_MASK
+        mp = cat([m * pk for pk in p_ints])
+        acc = acc + cat([mp & LIMB_MASK, zeros1]) + cat([zeros1, mp >> LIMB_BITS])
+        carry = acc[0:1] >> LIMB_BITS
+        acc = cat([acc[1:2] + carry, acc[2:], zeros1])
+    return _normalize_sub_p(spec, acc)
+
+
+def _carry_norm(acc, n_out):
+    """Carry-normalize [C, B] columns to n_out 16-bit limbs (unrolled)."""
+    outs = []
+    carry = jnp.zeros_like(acc[0])
+    c = acc.shape[0]
+    for k in range(n_out):
+        v = (acc[k] if k < c else jnp.zeros_like(carry)) + carry
+        outs.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(outs, axis=0)
+
+
+def _normalize_sub_p(spec, acc):
+    """Normalize an [L+1, B] accumulator (< 2p) to [L, B] canonical limbs."""
+    l = spec.n_limbs
+    s = _carry_norm(acc, l + 1)
+    carry_set = s[l] > 0
+    body = s[:l]
+    diff, under = _sub_limbs(body, [int(x) for x in spec.p_limbs])
+    need = carry_set | ~under
+    return jnp.where(need[None, :], diff, body)
+
+
+def _sub_limbs(a, b):
+    """a - b over [L, B] limbs (unrolled borrow); returns (diff, underflow).
+
+    b: same-shaped tensor or a list of per-limb python ints.
+    """
+    l = a.shape[0]
+    outs = []
+    borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
+    for k in range(l):
+        bk = b[k] if isinstance(b, list) else b[k].astype(jnp.int32)
+        v = a[k].astype(jnp.int32) - bk - borrow
+        outs.append((v & LIMB_MASK).astype(jnp.uint32))
+        borrow = (v >> LIMB_BITS) & 1
+    return jnp.stack(outs, axis=0), borrow > 0
+
+
+def _add_k(spec, a, b):
+    """(a + b) mod p over [L, B]."""
+    return _normalize_sub_p(spec, jnp.concatenate(
+        [a + b, jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)], axis=0))
+
+
+def _sub_k(spec, a, b):
+    """(a - b) mod p over [L, B]."""
+    diff, under = _sub_limbs(a, b)
+    p_rows = jnp.concatenate(
+        [jnp.where(under[None, :], jnp.uint32(int(pk)), jnp.uint32(0))
+         for pk in spec.p_limbs], axis=0)
+    readd = _carry_norm(diff + p_rows, spec.n_limbs)
+    return jnp.where(under[None, :], readd, diff)
+
+
+# -----------------------------------------------------------------------------
+# Hades permutation kernel
+# -----------------------------------------------------------------------------
+
+_W = params.HADES_WIDTH
+_ROUNDS = params.HADES_ROUNDS
+_HALF = params.HADES_FULL_ROUNDS // 2
+
+
+@functools.lru_cache(maxsize=1)
+def _hades_consts():
+    from ..hashes.poseidon_constants import MDS_MATRIX, ROUND_CONSTANTS
+
+    def mont(v):
+        return lf.int_to_limbs(v * FR.R % FR.modulus, FR.n_limbs)
+
+    arc = np.stack([np.stack([mont(v) for v in row]) for row in ROUND_CONSTANTS])
+    mds = np.stack([np.stack([mont(v) for v in row]) for row in MDS_MATRIX])
+    mask = np.zeros((_ROUNDS, _W), dtype=np.uint32)
+    mask[:_HALF, :] = 1
+    mask[_HALF + params.HADES_PARTIAL_ROUNDS:, :] = 1
+    mask[_HALF:_HALF + params.HADES_PARTIAL_ROUNDS, _W - 1] = 1
+    return arc.astype(np.uint32), mds.astype(np.uint32), mask
+
+
+def _hades_kernel(state_ref, arc_ref, mds_ref, mask_ref, out_ref):
+    """68 rounds over one [5, L, B] block, fully VMEM-resident."""
+    state = state_ref[:]  # [5, L, B]
+
+    def round_body(r, s):
+        arc = arc_ref[pl.ds(r, 1)][0]    # [5, L]
+        mask = mask_ref[pl.ds(r, 1)][0]  # [5]
+        rows = []
+        for i in range(_W):
+            x = _add_k(FR, s[i], arc[i][:, None])
+            x2 = _mont_mul_k(FR, x, x)
+            x4 = _mont_mul_k(FR, x2, x2)
+            x5 = _mont_mul_k(FR, x4, x)
+            rows.append(jnp.where((mask[i] != 0)[None, None], x5, x))
+        mds = mds_ref[:]
+        out_rows = []
+        for row in range(_W):
+            acc = _mont_mul_k(FR, rows[0], mds[row, 0][:, None])
+            for col in range(1, _W):
+                acc = _add_k(FR, acc,
+                             _mont_mul_k(FR, rows[col], mds[row, col][:, None]))
+            out_rows.append(acc)
+        return jnp.stack(out_rows, axis=0)
+
+    out_ref[:] = jax.lax.fori_loop(0, _ROUNDS, round_body, state)
+
+
+def hades_permute_pallas(state: jnp.ndarray,
+                         block: int = 512,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Full Hades permutation on [5, L, B] via one fused kernel."""
+    arc, mds, mask = _hades_consts()
+    b = state.shape[-1]
+    if b % block:
+        pad = block - b % block
+        state = jnp.pad(state, [(0, 0), (0, 0), (0, pad)])
+    nb = state.shape[-1] // block
+    out = pl.pallas_call(
+        _hades_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_W, FR.n_limbs, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((_ROUNDS, _W, FR.n_limbs), lambda i: (0, 0, 0)),
+            pl.BlockSpec((_W, _W, FR.n_limbs), lambda i: (0, 0, 0)),
+            pl.BlockSpec((_ROUNDS, _W), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_W, FR.n_limbs, block), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct(state.shape, jnp.uint32),
+        interpret=interpret,
+    )(state, jnp.asarray(arc), jnp.asarray(mds), jnp.asarray(mask))
+    return out[..., :b]
+
+
+# -----------------------------------------------------------------------------
+# G1 complete-addition kernel (RCB15 algorithm 7, a=0)
+# -----------------------------------------------------------------------------
+
+_B3_LIMBS = tuple(int(x) for x in lf.int_to_limbs(
+    3 * params.G1_B * FQ.R % FQ.modulus, FQ.n_limbs))
+
+
+def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r):
+    mul = lambda a, b: _mont_mul_k(FQ, a, b)
+    add = lambda a, b: _add_k(FQ, a, b)
+    sub = lambda a, b: _sub_k(FQ, a, b)
+    mul_b3 = lambda t: _mont_mul_const_k(FQ, t, _B3_LIMBS)
+    x1, y1, z1 = x1r[0], y1r[0], z1r[0]
+    x2, y2, z2 = x2r[0], y2r[0], z2r[0]
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    t3 = sub(sub(mul(add(x1, y1), add(x2, y2)), t0), t1)
+    t4 = sub(sub(mul(add(y1, z1), add(y2, z2)), t1), t2)
+    t5 = sub(sub(mul(add(x1, z1), add(x2, z2)), t0), t2)
+    t6 = mul_b3(t2)
+    z3 = add(t1, t6)
+    t1 = sub(t1, t6)
+    y3 = mul_b3(t5)
+    x3 = sub(mul(t3, t1), mul(t4, y3))
+    t0_3 = add(add(t0, t0), t0)
+    y3 = add(mul(t1, z3), mul(y3, t0_3))
+    z3 = add(mul(z3, t4), mul(t0_3, t3))
+    x3r[0], y3r[0], z3r[0] = x3, y3, z3
+
+
+def padd_pallas(p, q, block: int = 256, interpret: bool = False):
+    """Complete G1 addition on limb-major point batches (any batch shape)."""
+    shape = p[0].shape
+    lead = shape[:-2]
+    b = shape[-1]
+    block = min(block, max(128, -(-b // 128) * 128))  # avoid huge pads
+    flat = [t.reshape((-1,) + shape[-2:]) for t in (*p, *q)]
+    w = flat[0].shape[0]
+    if b % block:
+        pad = block - b % block
+        flat = [jnp.pad(t, [(0, 0), (0, 0), (0, pad)]) for t in flat]
+    bb = flat[0].shape[-1]
+    nb = bb // block
+    spec = pl.BlockSpec((1, FQ.n_limbs, block), lambda i, j: (i, 0, j))
+    out = pl.pallas_call(
+        _padd_kernel,
+        grid=(w, nb),
+        in_specs=[spec] * 6,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct(flat[0].shape, jnp.uint32)] * 3,
+        interpret=interpret,
+    )(*flat)
+    return tuple(t[..., :b].reshape(shape) for t in out)
