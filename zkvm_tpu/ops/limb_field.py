@@ -97,25 +97,32 @@ class FieldSpec:
 
     # ---- host <-> device conversion (canonical ints <-> Montgomery limbs) ----
     def to_mont_array(self, values) -> jnp.ndarray:
-        """Encode canonical python ints as a Montgomery limb tensor [L, N]."""
-        arr = np.stack(
-            [int_to_limbs((int(v) % self.modulus) * self.R % self.modulus, self.n_limbs)
-             for v in values], axis=-1)
-        return jnp.asarray(arr)
+        """Encode canonical python ints as a Montgomery limb tensor [L, N].
+
+        Limb packing is vectorized through the byte encoding; the Montgomery
+        factor is applied with ONE device multiply (to_mont) instead of a
+        per-element host bigint multiply."""
+        return to_mont(self, self.to_raw_array(values))
 
     def from_mont_array(self, arr) -> list[int]:
         """Decode a Montgomery limb tensor [..., L, N] to canonical ints
         (flattened batch-major: all leading axes then N)."""
-        host = np.asarray(jax.device_get(arr), dtype=np.uint64)
-        rinv = pow(self.R, -1, self.modulus)
+        raw = from_mont(self, arr)
+        host = np.asarray(jax.device_get(raw), dtype=np.uint16)
         flat = np.moveaxis(host, -2, -1).reshape(-1, self.n_limbs)
-        return [limbs_to_int(row) * rinv % self.modulus for row in flat]
+        nbytes = 2 * self.n_limbs
+        blob = flat.astype("<u2").tobytes()
+        return [int.from_bytes(blob[i * nbytes: (i + 1) * nbytes], "little")
+                for i in range(flat.shape[0])]
 
     def to_raw_array(self, values) -> jnp.ndarray:
         """Encode canonical ints WITHOUT the Montgomery factor."""
-        arr = np.stack([int_to_limbs(int(v) % self.modulus, self.n_limbs)
-                        for v in values], axis=-1)
-        return jnp.asarray(arr)
+        nbytes = 2 * self.n_limbs
+        buf = b"".join((int(v) % self.modulus).to_bytes(nbytes, "little")
+                       for v in values)
+        raw = np.frombuffer(buf, dtype="<u2").reshape(len(values),
+                                                      self.n_limbs)
+        return jnp.asarray(raw.T.astype(np.uint32))
 
     def const_mont(self, value: int) -> np.ndarray:
         """[L, 1] Montgomery limb column for a host constant."""

@@ -1,20 +1,59 @@
 """Quotient polynomial builder (plonk/src/proof_system/quotient_poly.rs).
 
-The hot loop: pointwise gate + permutation terms over the 8n coset domain,
-divided by the vanishing polynomial, then a coset-iFFT.  The coset FFTs run
-on device (zkvm_tpu.ops.ntt); the pointwise combine currently runs host-side
-over canonical ints (exact) -- the fused device kernel replaces it on the
-perf path.
+The hot loop -- pointwise gate + permutation terms over the 8n coset domain,
+divided by the vanishing polynomial -- runs fully on device
+(zkvm_tpu/ops/quotient_kernel.py) over [L, 8n] limb tensors: coset FFTs in,
+one fused numerator graph, pointwise multiply by the precomputed Z_H^-1,
+coset-iFFT out.  Selector/sigma coset evaluations are cached device-side on
+the ProverKey after the first proof.
 """
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from ..fields import Fr
+from ..ops import quotient_kernel as qk
+from ..ops.limb_field import FR
 from ..ops.ntt import Domain, _batch_inverse
 from .polynomial import Polynomial
 from .widgets import ProverKey
 
 _Q = Fr.MODULUS
+
+_SELECTOR_PAIRS = (("arithmetic", "q_m"), ("arithmetic", "q_l"),
+                   ("arithmetic", "q_r"), ("arithmetic", "q_o"),
+                   ("arithmetic", "q_f"), ("arithmetic", "q_c"),
+                   ("arithmetic", "q_arith"), ("range", "q_range"),
+                   ("logic", "q_logic"),
+                   ("fixed_base", "q_fixed_group_add"),
+                   ("variable_base", "q_variable_group_add"),
+                   ("permutation", "s_sigma_1"), ("permutation", "s_sigma_2"),
+                   ("permutation", "s_sigma_3"), ("permutation", "s_sigma_4"))
+
+
+def _device_cache(pk: ProverKey):
+    """Device-resident selector/sigma/Z_H^-1/linear tensors (built once)."""
+    cache = getattr(pk, "_device_cache", None)
+    if cache is not None:
+        return cache
+    sel = {}
+    for fam, name in _SELECTOR_PAIRS:
+        evals = getattr(getattr(pk, fam), name)[1]
+        sel[name] = FR.to_mont_array([e.value for e in evals.evals])
+    v_h_inv = FR.to_mont_array(
+        _batch_inverse([e.value for e in pk.v_h_coset_8n.evals], _Q))
+    linear = FR.to_mont_array(
+        [e.value for e in pk.permutation.linear_evaluations.evals])
+    cache = (sel, v_h_inv, linear)
+    pk._device_cache = cache
+    return cache
+
+
+def _to_device_coeffs(poly: Polynomial, size: int) -> jnp.ndarray:
+    vals = [c.value for c in poly.coeffs]
+    vals += [0] * (size - len(vals))
+    return FR.to_mont_array(vals)
 
 
 def build_quotient_polynomial(domain: Domain, prover_key: ProverKey,
@@ -22,49 +61,46 @@ def build_quotient_polynomial(domain: Domain, prover_key: ProverKey,
                               challenges) -> Polynomial:
     (alpha, beta, gamma, range_ch, logic_ch, fixed_ch, var_ch) = challenges
     a_poly, b_poly, c_poly, d_poly = wires
-    domain_8n = Domain(8 * domain.size)
+    n = domain.size
+    domain_8n = Domain(8 * n)
+    size_8n = domain_8n.size
+    sel, v_h_inv, linear = _device_cache(prover_key)
 
-    z_eval = [e.value for e in domain_8n.coset_fft(z_poly.coeffs)]
-    a_eval = [e.value for e in domain_8n.coset_fft(a_poly.coeffs)]
-    b_eval = [e.value for e in domain_8n.coset_fft(b_poly.coeffs)]
-    c_eval = [e.value for e in domain_8n.coset_fft(c_poly.coeffs)]
-    d_eval = [e.value for e in domain_8n.coset_fft(d_poly.coeffs)]
-    # wrap-around of 8 for the shifted (X*omega) accesses (quotient_poly.rs:46)
-    for i in range(8):
-        z_eval.append(z_eval[i])
-        a_eval.append(a_eval[i])
-        b_eval.append(b_eval[i])
-        d_eval.append(d_eval[i])
+    def coset8(poly: Polynomial) -> jnp.ndarray:
+        return domain_8n.coset_fft_device(_to_device_coeffs(poly, size_8n))
 
-    pi_eval = [e.value for e in domain_8n.coset_fft(pi_poly.coeffs)]
+    a8 = coset8(a_poly)
+    b8 = coset8(b_poly)
+    c8 = coset8(c_poly)
+    d8 = coset8(d_poly)
+    z8 = coset8(z_poly)
+    pi8 = coset8(pi_poly)
+    # shifted (X*omega) accesses: +8 with wrap-around == roll by -8
+    # (quotient_poly.rs:46-59)
+    a8w = jnp.roll(a8, -8, axis=-1)
+    b8w = jnp.roll(b8, -8, axis=-1)
+    d8w = jnp.roll(d8, -8, axis=-1)
+    z8w = jnp.roll(z8, -8, axis=-1)
 
     # L1 * alpha^2 over the 8n coset (quotient_poly.rs:195-236)
-    l1_alpha = domain.ifft([Fr(alpha.value * alpha.value % _Q)]
-                           + [Fr.zero()] * (domain.size - 1))
-    l1_alpha_evals = [e.value for e in domain_8n.coset_fft(l1_alpha)]
+    alpha_sq = alpha.value * alpha.value % _Q
+    l1_vals = FR.to_mont_array([alpha_sq] + [0] * (n - 1))
+    l1_coeffs = domain.ifft_device(l1_vals)
+    l1_coeffs = jnp.pad(l1_coeffs, [(0, 0), (0, size_8n - n)])
+    l1_8n = domain_8n.coset_fft_device(l1_coeffs)
 
-    pk = prover_key
-    al, be, ga = alpha.value, beta.value, gamma.value
-    r_ch, l_ch, f_ch, v_ch = (range_ch.value, logic_ch.value,
-                              fixed_ch.value, var_ch.value)
-    size_8n = domain_8n.size
-    numerator = []
-    for i in range(size_8n):
-        a, b, c, d = a_eval[i], b_eval[i], c_eval[i], d_eval[i]
-        a_w, b_w, d_w = a_eval[i + 8], b_eval[i + 8], d_eval[i + 8]
-        t = pk.arithmetic.compute_quotient_i(i, a, b, c, d)
-        t += pk.range.compute_quotient_i(i, r_ch, a, b, c, d, d_w)
-        t += pk.logic.compute_quotient_i(i, l_ch, a, a_w, b, b_w, c, d, d_w)
-        t += pk.fixed_base.compute_quotient_i(i, f_ch, a, a_w, b, b_w, c, d, d_w)
-        t += pk.variable_base.compute_quotient_i(i, v_ch, a, a_w, b, b_w, c,
-                                                 d, d_w)
-        t += pi_eval[i]
-        t += pk.permutation.compute_quotient_i(
-            i, a, b, c, d, z_eval[i], z_eval[i + 8], al, l1_alpha_evals[i],
-            be, ga)
-        numerator.append(t % _Q)
-
-    denominators = _batch_inverse(
-        [pk.v_h_coset_8n[i].value for i in range(size_8n)], _Q)
-    quotient = [Fr(n * dinv % _Q) for n, dinv in zip(numerator, denominators)]
-    return Polynomial(domain_8n.coset_ifft(quotient))
+    chals = {
+        "alpha": jnp.asarray(FR.const_mont(alpha.value)),
+        "beta": jnp.asarray(FR.const_mont(beta.value)),
+        "gamma": jnp.asarray(FR.const_mont(gamma.value)),
+        "range_sep": jnp.asarray(FR.const_mont(range_ch.value)),
+        "logic_sep": jnp.asarray(FR.const_mont(logic_ch.value)),
+        "fixed_sep": jnp.asarray(FR.const_mont(fixed_ch.value)),
+        "var_sep": jnp.asarray(FR.const_mont(var_ch.value)),
+    }
+    numerator = qk.quotient_numerator(
+        sel, (a8, b8, c8, d8, a8w, b8w, d8w), z8, z8w, pi8, l1_8n, linear,
+        chals)
+    quotient = qk.pointwise_divide(numerator, v_h_inv)
+    coeffs = domain_8n.coset_ifft_device(quotient)
+    return Polynomial([Fr(v) for v in FR.from_mont_array(coeffs)])
