@@ -93,6 +93,12 @@ def _signed_digits(scalars: list[Fr], c: int) -> np.ndarray:
     return out.astype(np.int32)
 
 
+def _align128(v: int) -> int:
+    """Round up to a full vector-lane tile (also sidesteps Mosaic faults
+    observed with odd lane counts on real hardware)."""
+    return -(-v // 128) * 128
+
+
 def _round_lengths(n: int, c: int) -> list[int]:
     """Static buffer lengths per pairing round (worst case over all inputs)."""
     n_rounds = max(1, math.ceil(math.log2(n))) if n > 1 else 1
@@ -100,7 +106,7 @@ def _round_lengths(n: int, c: int) -> list[int]:
     max_segs = half + 1  # buckets 1..half plus the dead segment
     lengths, cur = [], n
     for _ in range(n_rounds):
-        cur = min(cur, (cur + max_segs) // 2 + 1)
+        cur = min(cur, _align128((cur + max_segs) // 2 + 1))
         lengths.append(cur)
     return lengths
 
@@ -303,9 +309,16 @@ class MSMContext:
         n = self.n
         if len(scalars) < n:
             scalars = list(scalars) + [Fr.zero()] * (n - len(scalars))
+        # lane-align the working set (padded slots decompose to dead digits)
+        n = _align128(n)
+        if len(scalars) < n:
+            scalars = list(scalars) + [Fr.zero()] * (n - len(scalars))
         c = _window_bits(n)
         digits = _signed_digits(scalars, c)
         src0, neg0, unrolled, scanned, final_idx = _build_schedule(digits, n, c)
+        # dead slots carry index n (the aligned length); the device point set
+        # holds self.n + 1 entries with the identity at self.n -- clamp
+        src0 = np.minimum(src0, self.n)
         pts = self.points
         sums = _msm_kernel(
             pts, jnp.asarray(src0), jnp.asarray(neg0),

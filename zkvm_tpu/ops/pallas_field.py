@@ -31,6 +31,10 @@ from .limb_field import FQ, FR, LIMB_BITS, LIMB_MASK
 
 
 def _on_tpu() -> bool:
+    import os
+
+    if os.environ.get("ZKVM_NO_PALLAS"):
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
