@@ -204,8 +204,7 @@ def _gather(buf, idx):
     return tuple(jnp.take_along_axis(t, idx[:, None, :], axis=2) for t in buf)
 
 
-@jax.jit
-def _msm_kernel(points, src0, neg0, unrolled, scanned, final_idx):
+def _msm_core(points, src0, neg0, unrolled, scanned, final_idx):
     # round 0: per-window signed gather of the sorted working set
     # points: [L, N+1]; src0: [W, N] -> buffers [W, L, N]
     px, py, pz = points
@@ -231,6 +230,9 @@ def _msm_kernel(points, src0, neg0, unrolled, scanned, final_idx):
     buf = _with_identity(buf)
     buckets = _gather(buf, final_idx)  # [W, B] bucket sums
     return _weighted_bucket_fold(buckets)
+
+
+_msm_kernel = jax.jit(_msm_core)
 
 
 def _weighted_bucket_fold(buckets):
@@ -351,3 +353,102 @@ def msm_device(points: list[G1Affine], scalars: list[Fr]) -> G1Projective:
     paths like CommitKey.commit)."""
     assert len(points) >= len(scalars)
     return MSMContext(points[: len(scalars)]).msm(scalars)
+
+
+# -----------------------------------------------------------------------------
+# Multi-chip MSM: point shards per device, window sums combined across chips
+# -----------------------------------------------------------------------------
+
+def msm_sharded(points: list[G1Affine], scalars: list[Fr], mesh,
+                axis: str = "points") -> G1Projective:
+    """MSM sharded over a device mesh (BASELINE north-star component).
+
+    Points and scalars are split evenly across the mesh's devices; every
+    device runs the full per-shard bucket reduction on its slice (its own
+    host-built schedule, identical shapes), then the per-device window sums
+    -- one point per window -- are combined with an all_gather and a short
+    unrolled addition tree.  Communication: D*W points (a few KB), the
+    classic Pippenger partial-sum reduction pattern.
+    """
+    n_dev = mesh.devices.size
+    n = len(scalars)
+    assert len(points) >= n
+    shard = _align128(-(-n // n_dev))
+    n_pad = shard * n_dev
+    scalars = list(scalars) + [Fr.zero()] * (n_pad - n)
+    points = list(points[:n])
+    c = _window_bits(shard)
+
+    # stack per-shard device points (identity appended per shard) + schedules
+    base = g1_ops.affine_to_device(points)  # [L, n]
+    pad_cols = n_pad - n
+    if pad_cols:
+        base = tuple(jnp.pad(t, [(0, 0), (0, pad_cols)]) for t in base)
+    ident = g1_ops.identity_batch((1,))  # [L, 1]
+    pts = []
+    for d in range(n_dev):
+        sl = tuple(t[:, d * shard:(d + 1) * shard] for t in base)
+        pts.append(tuple(jnp.concatenate([t, i], axis=-1)
+                         for t, i in zip(sl, ident)))
+    stacked_pts = tuple(jnp.stack([p[k] for p in pts]) for k in range(3))
+
+    scheds = []
+    for d in range(n_dev):
+        digits = _signed_digits(scalars[d * shard:(d + 1) * shard], c)
+        scheds.append(_build_schedule(digits, shard, c))
+    src0 = np.stack([np.minimum(sc[0], shard) for sc in scheds])
+    neg0 = np.stack([sc[1] for sc in scheds])
+    n_unroll = len(scheds[0][2])
+    unrolled = tuple(
+        (jnp.asarray(np.stack([sc[2][r][0] for sc in scheds])),
+         jnp.asarray(np.stack([sc[2][r][1] for sc in scheds])))
+        for r in range(n_unroll))
+    scanned = (jnp.asarray(np.stack([sc[3][0] for sc in scheds])),
+               jnp.asarray(np.stack([sc[3][1] for sc in scheds])))
+    final_idx = jnp.asarray(np.stack([sc[4] for sc in scheds]))
+
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dev_spec = P(axis)
+
+    def local_msm(pts_x, pts_y, pts_z, s0, n0, *rest):
+        unr_args = rest[:2 * n_unroll]
+        scn_l, scn_r, fidx = rest[2 * n_unroll:]
+        unr = tuple((unr_args[2 * r][0], unr_args[2 * r + 1][0])
+                    for r in range(n_unroll))
+        sums = _msm_core((pts_x[0], pts_y[0], pts_z[0]), s0[0], n0[0],
+                         unr, (scn_l[0], scn_r[0]), fidx[0])
+        gathered = [jax.lax.all_gather(t, axis, axis=0) for t in sums]
+        total = tuple(t[0] for t in gathered)
+        for d in range(1, n_dev):
+            total = g1_ops.padd(total, tuple(t[d] for t in gathered))
+        return total
+
+    unr_flat = tuple(t for pair in unrolled for t in pair)
+    n_args = 3 + 2 + len(unr_flat) + 2 + 1
+    fn = jax.jit(shard_map(
+        local_msm, mesh=mesh,
+        in_specs=tuple([dev_spec] * n_args),
+        out_specs=(P(), P(), P()),
+        check_vma=False))
+    sums = fn(*stacked_pts, jnp.asarray(src0), jnp.asarray(neg0),
+              *unr_flat, scanned[0], scanned[1], final_idx)
+
+    # host window fold (same as MSMContext.msm)
+    from ..fields import Fp
+
+    host = [np.asarray(t) for t in jax.device_get(sums)]
+    rinv = pow(FQ.R, -1, FQ.modulus)
+    total = G1Projective.identity()
+    window_sums = []
+    for w in range(host[0].shape[0]):
+        coords = [lf.limbs_to_int(h[w, :, 0]) * rinv % FQ.modulus
+                  for h in host]
+        window_sums.append(G1Projective(Fp(coords[0]), Fp(coords[1]),
+                                        Fp(coords[2])))
+    for ws in reversed(window_sums):
+        for _ in range(c):
+            total = total.double()
+        total = total + ws
+    return total

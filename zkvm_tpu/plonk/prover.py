@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from ..fields import Fr
 from ..ops.ntt import Domain
+from ..utils import metrics
 from .composer import Composer
 from .errors import PlonkError
 from .kzg10 import CommitKey
@@ -157,6 +158,8 @@ class Prover:
             d_scalars[i] = composer[gate.d]
 
         # ROUND 1
+        _r1 = metrics.GLOBAL.span("prove/round1_wires")
+        _r1.__enter__()
         a_poly = blind_poly(rng, a_scalars, 1, domain)
         b_poly = blind_poly(rng, b_scalars, 1, domain)
         c_poly = blind_poly(rng, c_scalars, 1, domain)
@@ -172,8 +175,11 @@ class Prover:
         beta = transcript.challenge_scalar(b"beta")
         transcript.append_scalar(b"beta", beta)
         gamma = transcript.challenge_scalar(b"gamma")
+        _r1.__exit__(None, None, None)
 
         # ROUND 2
+        _r2 = metrics.GLOBAL.span("prove/round2_permutation")
+        _r2.__enter__()
         sigma_polys = [self.prover_key.permutation.s_sigma_1[0],
                        self.prover_key.permutation.s_sigma_2[0],
                        self.prover_key.permutation.s_sigma_3[0],
@@ -191,8 +197,11 @@ class Prover:
             b"fixed base separation challenge")
         var_sep = transcript.challenge_scalar(
             b"variable base separation challenge")
+        _r2.__exit__(None, None, None)
 
         # ROUND 3
+        _r3 = metrics.GLOBAL.span("prove/round3_quotient")
+        _r3.__enter__()
         pi_poly = Polynomial(domain.ifft(dense_public_inputs))
         t_poly = build_quotient_polynomial(
             domain, self.prover_key, z_poly,
@@ -222,8 +231,11 @@ class Prover:
         transcript.append_commitment(b"t_high_comm", t_high_comm)
         transcript.append_commitment(b"t_fourth_comm", t_fourth_comm)
         z_challenge = transcript.challenge_scalar(b"z_challenge")
+        _r3.__exit__(None, None, None)
 
         # ROUND 4
+        _r4 = metrics.GLOBAL.span("prove/round4_evaluations")
+        _r4.__enter__()
         shifted = z_challenge * Fr(domain.group_gen)
         pk = self.prover_key
         a_eval = a_poly.evaluate(z_challenge)
@@ -264,7 +276,11 @@ class Prover:
             s_sigma_2_eval=s_sigma_2_eval, s_sigma_3_eval=s_sigma_3_eval,
             z_eval=z_eval)
 
+        _r4.__exit__(None, None, None)
+
         # ROUND 5
+        _r5 = metrics.GLOBAL.span("prove/round5_openings")
+        _r5.__enter__()
         v_challenge = transcript.challenge_scalar(b"v_challenge")
         r_poly = build_linearization_polynomial(
             pk, (alpha, beta, gamma, range_sep, logic_sep, fixed_sep,
@@ -283,6 +299,7 @@ class Prover:
             [z_poly, a_poly, b_poly, d_poly], shifted, v_w_challenge)
         w_z_chall_w_comm = self.commit_key.commit(shifted_aggregate_witness)
 
+        _r5.__exit__(None, None, None)
         proof = Proof(a_comm, b_comm, c_comm, d_comm, z_comm, t_low_comm,
                       t_mid_comm, t_high_comm, t_fourth_comm, w_z_chall_comm,
                       w_z_chall_w_comm, evaluations)
