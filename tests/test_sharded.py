@@ -37,3 +37,22 @@ def test_dryrun_multichip_entrypoint(devices):
     import __graft_entry__ as g
 
     g.dryrun_multichip(min(8, len(devices)))
+
+
+def test_distributed_ntt_matches_single_chip(devices):
+    from jax.sharding import Mesh
+
+    from zkvm_tpu.ops.limb_field import FR
+    from zkvm_tpu.ops.ntt import Domain
+    from zkvm_tpu.ops.ntt_sharded import DistributedDomain
+
+    rng = random.Random(17)
+    for n, nd in ((256, 4), (1024, min(8, len(devices)))):
+        vals = [rng.randrange(Fr.MODULUS) for _ in range(n)]
+        x = FR.to_mont_array(vals)
+        mesh = Mesh(devices[:nd], ("ntt",))
+        dd = DistributedDomain(n, mesh)
+        ref = FR.from_mont_array(Domain(n).fft_device(x))
+        got = dd.fft_device(x)
+        assert FR.from_mont_array(got) == ref
+        assert FR.from_mont_array(dd.ifft_device(got)) == vals

@@ -1,0 +1,154 @@
+"""Distributed NTT: 4-step (Bailey) decomposition over a device mesh.
+
+The reference's FFT is strictly serial (plonk/src/fft/domain.rs:286).  Here a
+size-N transform factors as N = N1 * N2 (SURVEY.md section 2.9 north star):
+
+  1. each device runs N1-point column FFTs over its shard of the N2 axis,
+  2. multiplies by the w^(b*c) "twiddle glue" factors (local),
+  3. an `all_to_all` re-shards from columns (b) to rows (c) -- the only
+     communication, one matrix transpose over ICI,
+  4. each device runs N2-point row FFTs over its shard of the N1 axis.
+
+Derivation: with n = N2*a + b, k = N1*d + c,
+  X[N1*d + c] = sum_b w2^(b*d) * w^(b*c) * [ sum_a x[a, b] * w1^(a*c) ]
+(w1 = w^N2 has order N1, w2 = w^N1 has order N2), so the output matrix
+Z[c, d] read out d-major is exactly X.
+
+Local FFTs reuse the single-chip scanned butterfly (`_ntt_impl`) on a
+flattened [L, n*B] layout: batched gather indexes are the single-FFT indexes
+scaled by the batch stride, so the same kernel serves any batch count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params
+from . import limb_field as lf
+from .limb_field import FR
+from .ntt import Domain, _ntt_impl, bit_reverse_indices
+
+_Q = params.FR_MODULUS
+
+
+class _BatchedNTT:
+    """n-point FFT batched over B lanes on a flattened [L, n*B] layout."""
+
+    def __init__(self, n: int, batch: int, inverse: bool):
+        """`inverse` selects the inverse-root twiddle table; the overall
+        N^-1 scaling happens once at the end of the distributed transform."""
+        dom = Domain(n)
+        self.n, self.batch = n, batch
+        even, odd, out, twi = (np.asarray(t) for t in dom._stage_indexes)
+        j = np.arange(batch, dtype=np.int64)
+        scale = lambda idx: (idx[..., :, None] * batch + j).reshape(
+            idx.shape[0], -1).astype(np.int32)
+        self.even = jnp.asarray(scale(even))
+        self.odd = jnp.asarray(scale(odd))
+        self.out = jnp.asarray(scale(out))
+        # twiddle index repeats per batch lane (table stays [L, n/2])
+        self.twi = jnp.asarray(
+            np.repeat(np.asarray(twi), batch, axis=1).astype(np.int32))
+        brev = bit_reverse_indices(n).astype(np.int64)
+        self.brev = jnp.asarray(
+            (brev[:, None] * batch + j).reshape(-1).astype(np.int32))
+        self.table = dom._inv_tw if inverse else dom._fwd_tw
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [L, n, B] -> [L, n, B] transformed along the n axis."""
+        l = x.shape[0]
+        flat = x.reshape(l, self.n * self.batch)
+        if self.n > 1:
+            flat = _ntt_impl(flat, self.brev, self.even, self.odd, self.out,
+                             self.twi, self.table)
+        return flat.reshape(l, self.n, self.batch)
+
+
+@functools.lru_cache(maxsize=None)
+def _glue_twiddles(n: int, n1: int, n2_local: int, dev: int, n_dev: int,
+                   inverse: bool) -> np.ndarray:
+    """w^(b*c) factors for device `dev`'s b-slice, Montgomery [L, N1, n2loc]."""
+    root = pow(params.FR_ROOT_OF_UNITY,
+               1 << (params.FR_TWO_ADICITY - n.bit_length() + 1), _Q)
+    if inverse:
+        root = pow(root, -1, _Q)
+    vals = []
+    for c in range(n1):
+        for off in range(n2_local):
+            b = dev * n2_local + off
+            vals.append(pow(root, b * c, _Q))
+    arr = np.asarray(jax.device_get(FR.to_mont_array(vals)))  # [L, n1*n2loc]
+    return arr.reshape(FR.n_limbs, n1, n2_local)
+
+
+class DistributedDomain:
+    """Size-N NTT sharded over `mesh` (one axis)."""
+
+    def __init__(self, size: int, mesh, axis: str | None = None):
+        self.size = size
+        self.mesh = mesh
+        self.axis = axis or mesh.axis_names[0]
+        self.n_dev = mesh.devices.size
+        # N1 = local FFT length of step 1; shard the N2 axis across devices
+        self.n1 = 1 << (size.bit_length() - 1) // 2
+        self.n2 = size // self.n1
+        assert self.n1 * self.n2 == size
+        assert self.n2 % self.n_dev == 0, "N2 must divide across devices"
+        assert self.n1 % self.n_dev == 0, "N1 must divide across devices"
+        self.n2_loc = self.n2 // self.n_dev
+        self.n1_loc = self.n1 // self.n_dev
+
+    def _build(self, inverse: bool):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n1, n2, n2_loc, n1_loc = self.n1, self.n2, self.n2_loc, self.n1_loc
+        fft1 = _BatchedNTT(n1, n2_loc, inverse)
+        fft2 = _BatchedNTT(n2, n1_loc, inverse)
+        axis = self.axis
+        glue = jnp.asarray(np.stack([
+            _glue_twiddles(self.size, n1, n2_loc, d, self.n_dev, inverse)
+            for d in range(self.n_dev)]))  # [D, L, n1, n2loc]
+
+        def step(x_loc, tw_loc):
+            # x_loc: [L, n1, n2loc] (this device's b-slice)
+            y = fft1(x_loc)                         # FFT over a -> index c
+            l = y.shape[0]
+            tw = tw_loc[0]                          # [L, n1, n2loc]
+            y = lf.mont_mul(FR, y.reshape(l, -1),
+                            tw.reshape(l, -1)).reshape(y.shape)
+            # reshard: split the c axis, gather the full b axis
+            y = jax.lax.all_to_all(y, axis, split_axis=1, concat_axis=2,
+                                   tiled=True)      # [L, n1loc, n2]
+            y = jnp.swapaxes(y, 1, 2)               # [L, n2(b), n1loc]
+            z = fft2(y)                             # FFT over b -> index d
+            z = jnp.swapaxes(z, 1, 2)               # [L, n1loc(c), n2(d)]
+            return z
+
+        fn = shard_map(step, mesh=self.mesh,
+                       in_specs=(P(None, None, axis), P(axis)),
+                       out_specs=P(None, axis, None),
+                       check_vma=False)
+        return jax.jit(fn), glue
+
+    def _run(self, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        """x: [L, N] coefficients -> [L, N] evaluations (natural order)."""
+        l = FR.n_limbs
+        fn, glue = self._build(inverse)
+        xm = x.reshape(l, self.n1, self.n2)  # x[a, b] with n = N2*a + b
+        z = fn(xm, glue)                     # [L, N1(c), N2(d)]
+        out = jnp.swapaxes(z, 1, 2).reshape(l, self.size)  # k = N1*d + c
+        if inverse:
+            out = lf.mont_mul_const(FR, out,
+                                    FR.const_mont(pow(self.size, -1, _Q)))
+        return out
+
+    def fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        return self._run(coeffs, inverse=False)
+
+    def ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
+        return self._run(evals, inverse=True)
