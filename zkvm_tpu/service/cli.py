@@ -73,6 +73,29 @@ def cmd_make_input(args) -> int:
     return 0
 
 
+def cmd_prove(args) -> int:
+    """Single-leaf proof (the reference's `merkle_proof` binary,
+    merkle-plonk/src/main.rs): proves the FIRST leaf of the input file."""
+    config = BatchProofConfig(
+        merkle_input_file=args.input,
+        circuit_cache_file=args.circuit_cache,
+        verifier_file=args.verifier_file,
+        output_dir=args.out,
+        capacity=args.capacity,
+        tree_height=args.height)
+    with open(config.merkle_input_file, "rb") as f:
+        data = MultipleLeavesData.from_rkyv_bytes(f.read())
+    data.leaves_info = data.leaves_info[:1]
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as tmp:
+        tmp.write(data.to_rkyv_bytes())
+        config.merkle_input_file = tmp.name
+    proven = process_batch_proofs_with_config(config)
+    print("proof generated" if proven else "no valid leaf")
+    return 0 if proven else 1
+
+
 def cmd_verify(args) -> int:
     from ..plonk import Proof, Verifier
 
@@ -115,6 +138,11 @@ def main(argv=None) -> int:
     p_make.add_argument("--height", type=int, default=3)
     p_make.add_argument("--out", default="merkle_some.bin")
     p_make.set_defaults(fn=cmd_make_input)
+
+    p_prove = sub.add_parser("prove",
+                             help="prove a single leaf (merkle_proof parity)")
+    _add_batch_args(p_prove)
+    p_prove.set_defaults(fn=cmd_prove)
 
     p_verify = sub.add_parser("verify", help="verify a stored proof")
     p_verify.add_argument("--proof", required=True)
