@@ -300,33 +300,42 @@ class MSMContext:
         self.n = len(points)
 
     def msm(self, scalars: list[Fr]) -> G1Projective:
-        """MSM of the first len(scalars) points.
+        """MSM of the first len(scalars) points (see msm_many)."""
+        return self.msm_many([scalars])[0]
 
-        Scalars are zero-padded to the full point-set length: padded slots
-        decompose to all-zero digits (dead lanes), so correctness is
-        unaffected while every call shares ONE kernel specialization."""
-        if not scalars:
-            return G1Projective.identity()
-        assert len(scalars) <= self.n
-        n = self.n
-        if len(scalars) < n:
-            scalars = list(scalars) + [Fr.zero()] * (n - len(scalars))
-        # lane-align the working set (padded slots decompose to dead digits)
-        n = _align128(n)
-        if len(scalars) < n:
-            scalars = list(scalars) + [Fr.zero()] * (n - len(scalars))
+    def msm_many(self, scalar_sets: list[list[Fr]]) -> list[G1Projective]:
+        """Several MSMs over (prefixes of) the same point set in ONE kernel
+        launch: per-set schedules stack along the window axis, so the device
+        graph is identical to a single MSM with len(sets)*W windows.
+
+        Scalars are zero-padded to the full (lane-aligned) point-set length:
+        padded slots decompose to all-zero digits (dead lanes), so
+        correctness is unaffected while every call shares one kernel
+        specialization."""
+        n = _align128(self.n)
         c = _window_bits(n)
-        digits = _signed_digits(scalars, c)
-        src0, neg0, unrolled, scanned, final_idx = _build_schedule(digits, n, c)
+        padded = []
+        for scalars in scalar_sets:
+            assert len(scalars) <= self.n
+            padded.append(list(scalars) + [Fr.zero()] * (n - len(scalars)))
+
+        scheds = [_build_schedule(_signed_digits(s, c), n, c) for s in padded]
+        cat = lambda i: np.concatenate([sc[i] for sc in scheds], axis=0)
         # dead slots carry index n (the aligned length); the device point set
         # holds self.n + 1 entries with the identity at self.n -- clamp
-        src0 = np.minimum(src0, self.n)
-        pts = self.points
-        sums = _msm_kernel(
-            pts, jnp.asarray(src0), jnp.asarray(neg0),
-            tuple((jnp.asarray(l), jnp.asarray(r)) for l, r in unrolled),
-            tuple(jnp.asarray(a) for a in scanned),
-            jnp.asarray(final_idx))
+        src0 = np.minimum(cat(0), self.n)
+        neg0 = cat(1)
+        n_unroll = len(scheds[0][2])
+        unrolled = tuple(
+            (jnp.asarray(np.concatenate([sc[2][r][0] for sc in scheds])),
+             jnp.asarray(np.concatenate([sc[2][r][1] for sc in scheds])))
+            for r in range(n_unroll))
+        scanned = (
+            jnp.asarray(np.concatenate([sc[3][0] for sc in scheds], axis=1)),
+            jnp.asarray(np.concatenate([sc[3][1] for sc in scheds], axis=1)))
+        final_idx = jnp.asarray(cat(4))
+        sums = _msm_kernel(self.points, jnp.asarray(src0), jnp.asarray(neg0),
+                           unrolled, scanned, final_idx)
         # host window fold: total = sum_w 2^(c*w) * T_w
         # (one bulk transfer for all windows -- per-window device_get pays a
         # full device round trip each)
@@ -334,18 +343,25 @@ class MSMContext:
 
         host = [np.asarray(t) for t in jax.device_get(sums)]
         rinv = pow(FQ.R, -1, FQ.modulus)
-        window_sums = []
-        for w in range(host[0].shape[0]):
-            coords = [lf.limbs_to_int(h[w, :, 0]) * rinv % FQ.modulus
-                      for h in host]
-            window_sums.append(G1Projective(Fp(coords[0]), Fp(coords[1]),
-                                            Fp(coords[2])))
-        total = G1Projective.identity()
-        for ws in reversed(window_sums):
-            for _ in range(c):
-                total = total.double()
-            total = total + ws
-        return total
+        w_per_set = host[0].shape[0] // len(scalar_sets)
+        results = []
+        for s_i in range(len(scalar_sets)):
+            if not scalar_sets[s_i]:
+                results.append(G1Projective.identity())
+                continue
+            total = G1Projective.identity()
+            window_sums = []
+            for w in range(s_i * w_per_set, (s_i + 1) * w_per_set):
+                coords = [lf.limbs_to_int(h[w, :, 0]) * rinv % FQ.modulus
+                          for h in host]
+                window_sums.append(G1Projective(Fp(coords[0]), Fp(coords[1]),
+                                                Fp(coords[2])))
+            for ws in reversed(window_sums):
+                for _ in range(c):
+                    total = total.double()
+                total = total + ws
+            results.append(total)
+        return results
 
 
 def msm_device(points: list[G1Affine], scalars: list[Fr]) -> G1Projective:

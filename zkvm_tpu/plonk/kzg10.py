@@ -33,17 +33,25 @@ def powers_of(x: Fr, degree: int) -> list[Fr]:
 _msm_contexts: dict[int, object] = {}
 
 
-def _commit_msm(commit_key: "CommitKey", scalars: list[Fr]) -> G1Projective:
+def _device_ctx(commit_key: "CommitKey"):
     from ..ops import msm as device_msm
 
     points = commit_key.powers_of_g
     if len(points) < device_msm._device_threshold():
-        return msm_variable_base(points[: len(scalars)], scalars)
+        return None
     # one device context (and one kernel specialization) per commit key
     ctx = _msm_contexts.get(id(commit_key))
     if ctx is None or ctx.n != len(points):
         ctx = device_msm.MSMContext(points)
         _msm_contexts[id(commit_key)] = ctx
+    return ctx
+
+
+def _commit_msm(commit_key: "CommitKey", scalars: list[Fr]) -> G1Projective:
+    ctx = _device_ctx(commit_key)
+    if ctx is None:
+        return msm_variable_base(commit_key.powers_of_g[: len(scalars)],
+                                 scalars)
     return ctx.msm(scalars)
 
 
@@ -145,6 +153,20 @@ class CommitKey:
         if degree > self.max_degree():
             raise KZGError("polynomial degree too large")
         return Commitment(_commit_msm(self, polynomial.coeffs))
+
+    def commit_many(self, polynomials: list[Polynomial]) -> list[Commitment]:
+        """Commit several polynomials in one device launch (stacked-window
+        MSM); falls back to sequential commits on the host path."""
+        for poly in polynomials:
+            if poly.degree() == 0:
+                raise KZGError("polynomial degree is zero")
+            if poly.degree() > self.max_degree():
+                raise KZGError("polynomial degree too large")
+        ctx = _device_ctx(self)
+        if ctx is None:
+            return [self.commit(p) for p in polynomials]
+        return [Commitment(r)
+                for r in ctx.msm_many([p.coeffs for p in polynomials])]
 
     @staticmethod
     def compute_aggregate_witness(polynomials: list[Polynomial], point: Fr,

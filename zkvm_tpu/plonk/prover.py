@@ -40,11 +40,45 @@ def blind_poly(rng, witnesses: list[Fr], hiding_degree: int,
                domain: Domain) -> Polynomial:
     """iFFT + hiding blinders (prover.rs:64-83)."""
     coeffs = domain.ifft(witnesses)
+    return _apply_blinders(rng, coeffs, hiding_degree)
+
+
+def _apply_blinders(rng, coeffs: list[Fr], hiding_degree: int) -> Polynomial:
     for i in range(hiding_degree + 1):
         blinder = Fr.random(rng)
         coeffs[i] = coeffs[i] - blinder
         coeffs.append(blinder)
     return Polynomial(coeffs)
+
+
+def blind_polys_batched(rng, witness_sets: list[list[Fr]],
+                        hiding_degree: int, domain: Domain) -> list[Polynomial]:
+    """blind_poly over several witness vectors with ONE batched device iFFT.
+
+    Blinders are drawn in the same order as sequential blind_poly calls, so
+    the rng stream (and hence the proof bytes) is unchanged."""
+    import jax.numpy as jnp
+
+    from ..ops import limb_field as lf
+    from ..ops.limb_field import FR
+    from ..ops.ntt_sharded import _BatchedNTT
+
+    n = domain.size
+    k = len(witness_sets)
+    vals = []
+    for ws in witness_sets:
+        vals.extend([w.value for w in ws] + [0] * (n - len(ws)))
+    stacked = FR.to_mont_array(vals)  # [L, k*n] set-major
+    x = jnp.transpose(stacked.reshape(FR.n_limbs, k, n), (0, 2, 1))
+    out = _BatchedNTT(n, k, inverse=True)(x)  # [L, n, k]
+    out = lf.mont_mul_const(FR, out.reshape(FR.n_limbs, -1),
+                            FR.const_mont(domain.size_inv))
+    # [L, n, k] -> [k, L, n] (from_mont_array expects the limb axis at -2)
+    flat = FR.from_mont_array(
+        jnp.transpose(out.reshape(FR.n_limbs, n, k), (2, 0, 1)))
+    return [_apply_blinders(rng, [Fr(v) for v in flat[i * n:(i + 1) * n]],
+                            hiding_degree)
+            for i in range(k)]
 
 
 def build_linearization_polynomial(prover_key: ProverKey, challenges,
@@ -160,14 +194,10 @@ class Prover:
         # ROUND 1
         _r1 = metrics.GLOBAL.span("prove/round1_wires")
         _r1.__enter__()
-        a_poly = blind_poly(rng, a_scalars, 1, domain)
-        b_poly = blind_poly(rng, b_scalars, 1, domain)
-        c_poly = blind_poly(rng, c_scalars, 1, domain)
-        d_poly = blind_poly(rng, d_scalars, 1, domain)
-        a_comm = self.commit_key.commit(a_poly)
-        b_comm = self.commit_key.commit(b_poly)
-        c_comm = self.commit_key.commit(c_poly)
-        d_comm = self.commit_key.commit(d_poly)
+        a_poly, b_poly, c_poly, d_poly = blind_polys_batched(
+            rng, [a_scalars, b_scalars, c_scalars, d_scalars], 1, domain)
+        a_comm, b_comm, c_comm, d_comm = self.commit_key.commit_many(
+            [a_poly, b_poly, c_poly, d_poly])
         transcript.append_commitment(b"a_comm", a_comm)
         transcript.append_commitment(b"b_comm", b_comm)
         transcript.append_commitment(b"c_comm", c_comm)
@@ -222,10 +252,9 @@ class Prover:
         t_mid_poly = Polynomial(t_mid_vec)
         t_high_poly = Polynomial(t_high_vec)
         t_fourth_poly = Polynomial(t_fourth_vec)
-        t_low_comm = self.commit_key.commit(t_low_poly)
-        t_mid_comm = self.commit_key.commit(t_mid_poly)
-        t_high_comm = self.commit_key.commit(t_high_poly)
-        t_fourth_comm = self.commit_key.commit(t_fourth_poly)
+        t_low_comm, t_mid_comm, t_high_comm, t_fourth_comm = (
+            self.commit_key.commit_many(
+                [t_low_poly, t_mid_poly, t_high_poly, t_fourth_poly]))
         transcript.append_commitment(b"t_low_comm", t_low_comm)
         transcript.append_commitment(b"t_mid_comm", t_mid_comm)
         transcript.append_commitment(b"t_high_comm", t_high_comm)

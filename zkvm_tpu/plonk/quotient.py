@@ -66,15 +66,29 @@ def build_quotient_polynomial(domain: Domain, prover_key: ProverKey,
     size_8n = domain_8n.size
     sel, v_h_inv, linear = _device_cache(prover_key)
 
-    def coset8(poly: Polynomial) -> jnp.ndarray:
-        return domain_8n.coset_fft_device(_to_device_coeffs(poly, size_8n))
+    # ONE batched coset FFT for all six polynomials (a, b, c, d, z, PI):
+    # 6x fewer dispatches/transfers than per-polynomial transforms
+    from ..ops import limb_field as lf
+    from ..ops.ntt_sharded import _BatchedNTT
 
-    a8 = coset8(a_poly)
-    b8 = coset8(b_poly)
-    c8 = coset8(c_poly)
-    d8 = coset8(d_poly)
-    z8 = coset8(z_poly)
-    pi8 = coset8(pi_poly)
+    cache = getattr(prover_key, "_qbatch_cache", None)
+    if cache is None or cache[0].n != size_8n:
+        cache = (_BatchedNTT(size_8n, 6, inverse=False),
+                 jnp.repeat(domain_8n._factor("coset"), 6, axis=-1))
+        prover_key._qbatch_cache = cache
+    batched_fft, coset_rep = cache
+
+    polys = (a_poly, b_poly, c_poly, d_poly, z_poly, pi_poly)
+    vals = []
+    for poly in polys:
+        pv = [c.value for c in poly.coeffs]
+        vals.extend(pv + [0] * (size_8n - len(pv)))
+    stacked = FR.to_mont_array(vals)  # [L, 6*8n], poly-major
+    x = jnp.transpose(stacked.reshape(FR.n_limbs, 6, size_8n), (0, 2, 1))
+    x = lf.mont_mul(FR, x.reshape(FR.n_limbs, -1),
+                    coset_rep).reshape(FR.n_limbs, size_8n, 6)
+    evals = batched_fft(x)  # [L, 8n, 6]
+    a8, b8, c8, d8, z8, pi8 = (evals[..., i] for i in range(6))
     # shifted (X*omega) accesses: +8 with wrap-around == roll by -8
     # (quotient_poly.rs:46-59)
     a8w = jnp.roll(a8, -8, axis=-1)
