@@ -144,3 +144,62 @@ def device_to_projective(p, index=None) -> G1Projective:
     xv, yv, zv = (FQ.from_mont_array(t.reshape(FQ.n_limbs, -1)[:, :1])[0]
                   for t in (x, y, z))
     return G1Projective(Fp(xv), Fp(yv), Fp(zv))
+
+
+def batch_scalar_mul_base(base: G1Affine, scalars) -> list["G1Affine"]:
+    """[s_i * base] for many scalars: batched double-and-add on device.
+
+    255 masked-add + double steps over all lanes (data-oblivious); used by
+    the SRS setup (srs.rs slow_multiscalar_mul_single_base equivalent) where
+    the host loop would take minutes at 2^16.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..fields import Fp, Fr
+
+    n = len(scalars)
+    if n == 0:
+        return []
+    pad = (-n) % 128  # lane alignment
+    bits_needed = 256
+
+    buf = b"".join(s.to_bytes() for s in scalars) + bytes(32 * pad)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8).reshape(n + pad, 32),
+        axis=1, bitorder="little").T.astype(bool)  # [256, n+pad]
+
+    bx = lf.int_to_limbs(base.x.value * FQ.R % FQ.modulus, FQ.n_limbs)
+    by = lf.int_to_limbs(base.y.value * FQ.R % FQ.modulus, FQ.n_limbs)
+    one = np.asarray(FQ.one_mont)
+
+    @jax.jit
+    def kernel(bits_arr):
+        lanes = bits_arr.shape[1]
+        px = jnp.broadcast_to(jnp.asarray(bx)[:, None],
+                              (FQ.n_limbs, lanes)).astype(jnp.uint32)
+        py = jnp.broadcast_to(jnp.asarray(by)[:, None],
+                              (FQ.n_limbs, lanes)).astype(jnp.uint32)
+        pz = jnp.broadcast_to(jnp.asarray(one)[:, None],
+                              (FQ.n_limbs, lanes)).astype(jnp.uint32)
+        acc = identity_batch((lanes,))
+
+        def body(carry, bit_row):
+            acc, p = carry
+            added = padd(acc, p)
+            acc = pselect(bit_row, added, acc)
+            p = padd(p, p)
+            return (acc, p), None
+
+        (acc, _), _ = jax.lax.scan(body, (acc, (px, py, pz)), bits_arr)
+        return acc
+
+    res = kernel(jnp.asarray(bits[:bits_needed]))
+    host = [np.asarray(t) for t in jax.device_get(res)]
+    rinv = pow(FQ.R, -1, FQ.modulus)
+    out = []
+    for i in range(n):
+        coords = [lf.limbs_to_int(h[:, i]) * rinv % FQ.modulus for h in host]
+        out.append(G1Projective(Fp(coords[0]), Fp(coords[1]), Fp(coords[2])))
+    return G1Projective.batch_normalize(out)

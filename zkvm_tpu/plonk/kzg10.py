@@ -296,8 +296,15 @@ class PublicParameters:
         x = Fr.random(rng)
         xs = powers_of(x, max_degree)
         g = G1Affine.generator() * Fr.random(rng)
-        powers_of_g = [g * s for s in xs]
-        normalized = G1Projective.batch_normalize(powers_of_g)
+        if max_degree >= 2048:
+            # device-batched tau powers (srs.rs slow_multiscalar_mul path is
+            # minutes of host time at 2^16)
+            from ..ops.g1_ops import batch_scalar_mul_base
+
+            normalized = batch_scalar_mul_base(g.to_affine(), xs)
+        else:
+            powers_of_g = [g * s for s in xs]
+            normalized = G1Projective.batch_normalize(powers_of_g)
         h = (G2Affine.generator() * Fr.random(rng)).to_affine()
         x_2 = (h * x).to_affine()
         return cls(CommitKey(normalized), OpeningKey(g.to_affine(), h, x_2))
