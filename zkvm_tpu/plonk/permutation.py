@@ -68,8 +68,17 @@ class Permutation:
                                 wires: list[list[Fr]],
                                 beta: Fr, gamma: Fr,
                                 sigma_polys: list[Polynomial]) -> list[Fr]:
-        """Grand-product accumulator z over the domain (permutation.rs:181-245)."""
+        """Grand-product accumulator z over the domain (permutation.rs:181-245).
+
+        The per-gate numerator/denominator products and the running product
+        run on device (the prefix scan is a log-depth associative_scan); the
+        batch inversion of the denominators happens host-side (one modular
+        inverse beats a 380-multiply Fermat ladder on device).
+        """
         n = domain.size
+        if n >= 1024:
+            return self._permutation_vec_device(domain, wires, beta, gamma,
+                                                sigma_polys)
         ks = (1, params.K1, params.K2, params.K3)
         b, g = beta.value, gamma.value
         sigma_evals = [[e.value for e in domain.fft(p.coeffs)]
@@ -95,3 +104,45 @@ class Permutation:
             acc.append(Fr(state))
             state = state * num % _Q * inv % _Q
         return acc
+
+    def _permutation_vec_device(self, domain: Domain, wires, beta: Fr,
+                                gamma: Fr, sigma_polys) -> list[Fr]:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import limb_field as lf
+        from ..ops.limb_field import FR
+
+        n = domain.size
+        ks = (1, params.K1, params.K2, params.K3)
+        b_col = FR.const_mont(beta.value)
+        g_col = FR.const_mont(gamma.value)
+        roots = FR.to_mont_array(domain._powers(domain.group_gen))
+
+        num = None
+        den = None
+        for wire, k, sig_poly in zip(wires, ks, sigma_polys):
+            coeffs = [c.value for c in sig_poly.coeffs]
+            sig = domain.fft_device(
+                FR.to_mont_array(coeffs + [0] * (n - len(coeffs))))
+            w = FR.to_mont_array([x.value for x in wire])
+            bk = FR.const_mont(beta.value * k % _Q)
+            num_t = lf.add(FR, lf.add(FR, w,
+                                      lf.mont_mul_const(FR, roots, bk)),
+                           jnp.broadcast_to(jnp.asarray(g_col), w.shape))
+            den_t = lf.add(FR, lf.add(FR, w,
+                                      lf.mont_mul_const(FR, sig, b_col)),
+                           jnp.broadcast_to(jnp.asarray(g_col), w.shape))
+            num = num_t if num is None else lf.mont_mul(FR, num, num_t)
+            den = den_t if den is None else lf.mont_mul(FR, den, den_t)
+
+        inv_dens = _batch_inverse(FR.from_mont_array(den), _Q)
+        ratio = lf.mont_mul(FR, num, FR.to_mont_array(inv_dens))
+        # exclusive prefix product: z_0 = 1, z_i = prod_{j<i} ratio_j
+        scan = jax.lax.associative_scan(
+            lambda a, b: lf.mont_mul(FR, a, b), ratio, axis=-1)
+        one_col = jnp.asarray(FR.const_mont(1))
+        shifted = jnp.concatenate(
+            [jnp.broadcast_to(one_col, (FR.n_limbs, 1)), scan[:, :-1]],
+            axis=-1)
+        return [Fr(v) for v in FR.from_mont_array(shifted)]
