@@ -33,8 +33,38 @@ def bit_reverse_indices(n: int) -> np.ndarray:
     return rev
 
 
+def _ntt_impl(x, brev, even_idx, odd_idx, out_idx, tw_idx, tw_table):
+    """Dispatch: fused pallas butterfly on TPU, jnp elsewhere."""
+    from . import pallas_field
+
+    if pallas_field._on_tpu():
+        return _ntt_impl_tpu(x, brev, even_idx, odd_idx, out_idx, tw_idx,
+                             tw_table)
+    return _ntt_impl_jnp(x, brev, even_idx, odd_idx, out_idx, tw_idx,
+                         tw_table)
+
+
 @jax.jit
-def _ntt_impl(x: jnp.ndarray, brev: jnp.ndarray, even_idx: jnp.ndarray,
+def _ntt_impl_tpu(x, brev, even_idx, odd_idx, out_idx, tw_idx, tw_table):
+    from . import pallas_field
+
+    x = jnp.take(x, brev, axis=1)
+
+    def stage(state, inputs):
+        e_idx, o_idx, g_idx, t_idx = inputs
+        even = jnp.take(state, e_idx, axis=1)
+        odd = jnp.take(state, o_idx, axis=1)
+        tw = jnp.take(tw_table, t_idx, axis=1)
+        plus, minus = pallas_field.butterfly_pallas(even, odd, tw)
+        cat = jnp.concatenate([plus, minus], axis=1)
+        return jnp.take(cat, g_idx, axis=1), None
+
+    x, _ = jax.lax.scan(stage, x, (even_idx, odd_idx, out_idx, tw_idx))
+    return x
+
+
+@jax.jit
+def _ntt_impl_jnp(x: jnp.ndarray, brev: jnp.ndarray, even_idx: jnp.ndarray,
               odd_idx: jnp.ndarray, out_idx: jnp.ndarray,
               tw_idx: jnp.ndarray, tw_table: jnp.ndarray) -> jnp.ndarray:
     """Iterative CT NTT; x: [L, n] Montgomery; output natural order evals.

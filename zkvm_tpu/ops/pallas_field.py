@@ -280,3 +280,36 @@ def padd_pallas(p, q, block: int = 256, interpret: bool = False):
         interpret=interpret,
     )(*flat)
     return tuple(t[..., :b].reshape(shape) for t in out)
+
+
+# -----------------------------------------------------------------------------
+# NTT butterfly kernel: one fused (mul, add, sub) stage over [L, B] lanes
+# -----------------------------------------------------------------------------
+
+def _butterfly_kernel(even_ref, odd_ref, tw_ref, plus_ref, minus_ref):
+    even = even_ref[:]
+    t = _mont_mul_k(FR, odd_ref[:], tw_ref[:])
+    plus_ref[:] = _add_k(FR, even, t)
+    minus_ref[:] = _sub_k(FR, even, t)
+
+
+def butterfly_pallas(even, odd, tw, block: int = 1024,
+                     interpret: bool = False):
+    """One NTT butterfly stage (even +/- tw*odd) fused in VMEM."""
+    b = even.shape[-1]
+    block = min(block, max(128, -(-b // 128) * 128))
+    if b % block:
+        pad = block - b % block
+        even, odd, tw = (jnp.pad(t, [(0, 0), (0, pad)])
+                         for t in (even, odd, tw))
+    nb = even.shape[-1] // block
+    spec = pl.BlockSpec((FR.n_limbs, block), lambda i: (0, i))
+    plus, minus = pl.pallas_call(
+        _butterfly_kernel,
+        grid=(nb,),
+        in_specs=[spec] * 3,
+        out_specs=[spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct(even.shape, jnp.uint32)] * 2,
+        interpret=interpret,
+    )(even, odd, tw)
+    return plus[:, :b], minus[:, :b]
