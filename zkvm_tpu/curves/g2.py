@@ -205,3 +205,43 @@ class G2Affine:
 
     def __repr__(self):
         return "G2Affine(identity)" if self.infinity else f"G2Affine(x={self.x!r})"
+
+
+def _psi(p: G2Projective) -> G2Projective:
+    """Untwist-Frobenius-twist endomorphism (g2.rs:848-887)."""
+    from .h2c_g2_constants import (PSI_COEFF_X_C1, PSI_COEFF_Y_C0,
+                                   PSI_COEFF_Y_C1)
+
+    cx = Fp2(Fp.zero(), Fp(PSI_COEFF_X_C1))
+    cy = Fp2(Fp(PSI_COEFF_Y_C0), Fp(PSI_COEFF_Y_C1))
+    return G2Projective(p.x.frobenius_map() * cx,
+                        p.y.frobenius_map() * cy,
+                        p.z.frobenius_map())
+
+
+def _psi2(p: G2Projective) -> G2Projective:
+    """psi composed with itself (g2.rs:889-909)."""
+    from .h2c_g2_constants import PSI2_COEFF_X_C0
+
+    cx = Fp2(Fp(PSI2_COEFF_X_C0), Fp.zero())
+    return G2Projective(p.x * cx, -p.y, p.z)
+
+
+def _mul_by_x(p: G2Projective) -> G2Projective:
+    """Multiply by the (negative) BLS parameter x (g2.rs:911-928)."""
+    res = p * params.BLS_X
+    return -res if params.BLS_X_IS_NEGATIVE else res
+
+
+def clear_cofactor_g2(p: G2Projective) -> G2Projective:
+    """Efficient psi-based cofactor clearing (g2.rs:931-936):
+    [x^2-x-1]P + [x-1]psi(P) + psi2(2P)."""
+    t1 = _mul_by_x(p)
+    t2 = _psi(p)
+    return (_psi2(p.double()) + _mul_by_x(t1 + t2)) - t1 - t2 - p
+
+
+G2Projective.psi = _psi
+G2Projective.psi2 = _psi2
+G2Projective.mul_by_x = _mul_by_x
+G2Projective.clear_cofactor = clear_cofactor_g2

@@ -129,3 +129,97 @@ def hash_to_scalar_field(msg: bytes, dst: bytes, count: int = 1):
     uniform = expand_message_xmd(msg, dst, count * length)
     return [Fr(int.from_bytes(uniform[i * length:(i + 1) * length], "big"))
             for i in range(count)]
+
+
+# =============================================================================
+# G2: BLS12381G2_XMD:SHA-256_SSWU_{RO,NU}_ (hash_to_curve/map_g2.rs)
+# =============================================================================
+
+def hash_to_field_fp2(msg: bytes, dst: bytes, count: int):
+    """RFC 9380 section 5.2 with m=2, L=64 (128 bytes per Fp2 element)."""
+    from ..fields import Fp2
+
+    length = 128
+    uniform = expand_message_xmd(msg, dst, count * length)
+    out = []
+    for i in range(count):
+        chunk = uniform[i * length:(i + 1) * length]
+        c0 = Fp(int.from_bytes(chunk[:64], "big"))
+        c1 = Fp(int.from_bytes(chunk[64:], "big"))
+        out.append(Fp2(c0, c1))
+    return out
+
+
+def _sgn0_fp2(x) -> int:
+    s0 = x.c0.value & 1
+    z0 = x.c0.value == 0
+    s1 = x.c1.value & 1
+    return s0 | (int(z0) & s1)
+
+
+def _map_to_curve_sswu_g2(u):
+    """Simplified SWU onto the 3-isogenous curve over Fp2."""
+    from ..fields import Fp2
+    from .h2c_g2_constants import SSWU_ELLP_A, SSWU_ELLP_B, SSWU_XI
+
+    a = Fp2(Fp(SSWU_ELLP_A[0]), Fp(SSWU_ELLP_A[1]))
+    b = Fp2(Fp(SSWU_ELLP_B[0]), Fp(SSWU_ELLP_B[1]))
+    z = Fp2(Fp(SSWU_XI[0]), Fp(SSWU_XI[1]))
+
+    tv1 = z * u.square()          # Z u^2
+    tv2 = tv1.square()
+    denom = tv2 + tv1
+    if denom.is_zero():
+        x1 = b * (z * a).invert()
+    else:
+        x1 = (-b) * a.invert() * (Fp2.one() + denom.invert())
+    gx1 = x1.square() * x1 + a * x1 + b
+    y = gx1.sqrt()
+    if y is not None:
+        x = x1
+    else:
+        x = tv1 * x1
+        gx2 = gx1 * tv1.square() * tv1   # g(x2) = Z^3 u^6 g(x1)
+        y = gx2.sqrt()
+        assert y is not None, "SSWU: neither branch square"
+    if _sgn0_fp2(u) != _sgn0_fp2(y):
+        y = -y
+    return x, y
+
+
+def _iso3(x, y):
+    """3-degree isogeny E' -> E over Fp2 (map_g2.rs iso_map)."""
+    from ..fields import Fp2
+    from .g2 import G2Projective
+    from .h2c_g2_constants import (ISO3_XDEN, ISO3_XNUM, ISO3_YDEN,
+                                   ISO3_YNUM)
+
+    def horner(coeffs, v):
+        acc = Fp2.zero()
+        for c0, c1 in reversed(coeffs):
+            acc = acc * v + Fp2(Fp(c0), Fp(c1))
+        return acc
+
+    xnum = horner(ISO3_XNUM, x)
+    xden = horner(ISO3_XDEN, x)
+    ynum = horner(ISO3_YNUM, x)
+    yden = horner(ISO3_YDEN, x)
+    return G2Projective(xnum * yden, y * ynum * xden, xden * yden)
+
+
+def map_to_curve_g2(u):
+    x, y = _map_to_curve_sswu_g2(u)
+    return _iso3(x, y)
+
+
+def hash_to_curve_g2(msg: bytes, dst: bytes):
+    """Random-oracle G2 encoding (RFC 9380 BLS12381G2_XMD:SHA-256_SSWU_RO_)."""
+    u0, u1 = hash_to_field_fp2(msg, dst, 2)
+    q = map_to_curve_g2(u0) + map_to_curve_g2(u1)
+    return q.clear_cofactor()
+
+
+def encode_to_curve_g2(msg: bytes, dst: bytes):
+    """Nonuniform G2 encoding."""
+    u0 = hash_to_field_fp2(msg, dst, 1)[0]
+    return map_to_curve_g2(u0).clear_cofactor()

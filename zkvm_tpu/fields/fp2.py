@@ -104,3 +104,21 @@ class Fp2:
 
     def __repr__(self):
         return f"Fp2({self.c0!r} + {self.c1!r}*u)"
+
+    def sqrt(self):
+        """Square root in Fp2 for p = 3 mod 4 (g2.rs sqrt algorithm):
+        a1 = a^((p-3)/4); x0 = a1*a; alpha = a1*x0;
+        alpha == -1 -> i*x0, else (1+alpha)^((p-1)/2) * x0."""
+        if self.is_zero():
+            return Fp2.zero()
+        p = Fp.MODULUS
+        a1 = self.pow((p - 3) // 4)
+        x0 = a1 * self
+        alpha = a1 * x0
+        if alpha == -Fp2.one():
+            candidate = Fp2(Fp.zero(), Fp.one()) * x0
+        else:
+            candidate = (Fp2.one() + alpha).pow((p - 1) // 2) * x0
+        if candidate.square() == self:
+            return candidate
+        return None
