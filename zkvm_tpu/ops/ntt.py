@@ -123,12 +123,35 @@ class Domain:
         self.size_inv = pow(size, -1, q)
         self.generator = params.FR_GENERATOR  # coset shift g = 7
         self.generator_inv = pow(self.generator, -1, q)
-        self._brev = jnp.asarray(bit_reverse_indices(size))
-        self._stage_indexes = self._build_stage_indexes()
-        self._fwd_tw = self._twiddle_tables(self.group_gen)
-        self._inv_tw = self._twiddle_tables(self.group_gen_inv)
-        # lazy per-use factor tables
+        # lazy per-use factor tables / butterfly tables (the MXU matmul path
+        # is the default transform; the scanned butterfly stays available
+        # via ZKVM_NTT_IMPL=butterfly for cross-checks)
         self._factors: dict[str, jnp.ndarray] = {}
+        self._butterfly: tuple | None = None
+
+    def _butterfly_tables(self):
+        if self._butterfly is None:
+            self._butterfly = (jnp.asarray(bit_reverse_indices(self.size)),
+                               self._build_stage_indexes(),
+                               self._twiddle_tables(self.group_gen),
+                               self._twiddle_tables(self.group_gen_inv))
+        return self._butterfly
+
+    @property
+    def _brev(self):
+        return self._butterfly_tables()[0]
+
+    @property
+    def _stage_indexes(self):
+        return self._butterfly_tables()[1]
+
+    @property
+    def _fwd_tw(self):
+        return self._butterfly_tables()[2]
+
+    @property
+    def _inv_tw(self):
+        return self._butterfly_tables()[3]
 
     def _build_stage_indexes(self):
         """Per-stage flat gather indexes for the scanned butterfly.
@@ -195,28 +218,36 @@ class Domain:
             cur = cur * base % q
         return out
 
-    # ---- device transforms (Montgomery [n, L] tensors) ----------------------
-    def _run(self, x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    # ---- device transforms (Montgomery [L, n] tensors) ----------------------
+    def _run(self, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         if self.size == 1:
             return x
-        even, odd, out, twi = self._stage_indexes
-        return _ntt_impl(x, self._brev, even, odd, out, twi, table)
+        import os
+
+        if os.environ.get("ZKVM_NTT_IMPL") == "butterfly":
+            brev, (even, odd, out, twi), fwd, inv = self._butterfly_tables()
+            return _ntt_impl(x, brev, even, odd, out, twi,
+                             inv if inverse else fwd)
+        from .ntt_mxu import MXUTransform
+
+        root = self.group_gen_inv if inverse else self.group_gen
+        return MXUTransform(self.size, root)(x)
 
     def fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         assert coeffs.shape[-1] == self.size
-        return self._run(coeffs, self._fwd_tw)
+        return self._run(coeffs, inverse=False)
 
     def ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
-        out = self._run(evals, self._inv_tw)
+        out = self._run(evals, inverse=True)
         return _scale(FR, out, self._factor("size_inv"))
 
     def coset_fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         """Evaluate over the coset g*H (distribute powers of g, then FFT)."""
         shifted = _scale(FR, coeffs, self._factor("coset"))
-        return self._run(shifted, self._fwd_tw)
+        return self._run(shifted, inverse=False)
 
     def coset_ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
-        out = self._run(evals, self._inv_tw)
+        out = self._run(evals, inverse=True)
         return _scale(FR, out, self._factor("coset_inv_scaled"))
 
     # ---- host conveniences (lists of Fr) -------------------------------------

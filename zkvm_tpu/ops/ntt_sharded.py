@@ -36,36 +36,23 @@ _Q = params.FR_MODULUS
 
 
 class _BatchedNTT:
-    """n-point FFT batched over B lanes on a flattened [L, n*B] layout."""
+    """n-point FFT batched over B lanes of an [L, n, B] tensor (MXU path)."""
 
     def __init__(self, n: int, batch: int, inverse: bool):
-        """`inverse` selects the inverse-root twiddle table; the overall
-        N^-1 scaling happens once at the end of the distributed transform."""
+        """`inverse` selects the inverse root; the overall N^-1 scaling
+        happens once at the end of the (distributed) transform."""
+        from .ntt_mxu import MXUTransform
+
         dom = Domain(n)
         self.n, self.batch = n, batch
-        even, odd, out, twi = (np.asarray(t) for t in dom._stage_indexes)
-        j = np.arange(batch, dtype=np.int64)
-        scale = lambda idx: (idx[..., :, None] * batch + j).reshape(
-            idx.shape[0], -1).astype(np.int32)
-        self.even = jnp.asarray(scale(even))
-        self.odd = jnp.asarray(scale(odd))
-        self.out = jnp.asarray(scale(out))
-        # twiddle index repeats per batch lane (table stays [L, n/2])
-        self.twi = jnp.asarray(
-            np.repeat(np.asarray(twi), batch, axis=1).astype(np.int32))
-        brev = bit_reverse_indices(n).astype(np.int64)
-        self.brev = jnp.asarray(
-            (brev[:, None] * batch + j).reshape(-1).astype(np.int32))
-        self.table = dom._inv_tw if inverse else dom._fwd_tw
+        root = dom.group_gen_inv if inverse else dom.group_gen
+        self.transform = MXUTransform(n, root)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: [L, n, B] -> [L, n, B] transformed along the n axis."""
-        l = x.shape[0]
-        flat = x.reshape(l, self.n * self.batch)
-        if self.n > 1:
-            flat = _ntt_impl(flat, self.brev, self.even, self.odd, self.out,
-                             self.twi, self.table)
-        return flat.reshape(l, self.n, self.batch)
+        if self.n == 1:
+            return x
+        return self.transform.apply_axis(x, 1)
 
 
 @functools.lru_cache(maxsize=None)
