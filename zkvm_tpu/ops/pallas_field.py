@@ -289,11 +289,13 @@ def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r):
     x3r[0], y3r[0], z3r[0] = x3, y3, z3
 
 
-def padd_pallas(p, q, block: int = 256, interpret: bool = False):
+def padd_pallas(p, q, block: int = 2048, interpret: bool = False):
     """Complete G1 addition on limb-major point batches (any batch shape)."""
     shape = p[0].shape
     lead = shape[:-2]
     b = shape[-1]
+    if b == 0 or any(s == 0 for s in lead):
+        return p  # empty batch (associative_scan edge slices)
     block = min(block, max(128, -(-b // 128) * 128))  # avoid huge pads
     flat = [t.reshape((-1,) + shape[-2:]) for t in (*p, *q)]
     w = flat[0].shape[0]

@@ -168,6 +168,21 @@ class CommitKey:
         return [Commitment(r)
                 for r in ctx.msm_many([p.coeffs for p in polynomials])]
 
+    def commit_many_mont(self, tensors) -> list[Commitment]:
+        """Commit device-resident [16, len] Montgomery coefficient tensors
+        in one MSM launch (the device-resident prover's commit path); falls
+        back through host Polynomials when the key is below the device
+        threshold (CPU tests)."""
+        for t in tensors:
+            if t.shape[-1] - 1 > self.max_degree():
+                raise KZGError("polynomial degree too large")
+        ctx = _device_ctx(self)
+        if ctx is None:
+            from .dpoly import from_device
+
+            return [self.commit(Polynomial(from_device(t))) for t in tensors]
+        return [Commitment(r) for r in ctx.msm_many_mont(list(tensors))]
+
     @staticmethod
     def compute_aggregate_witness(polynomials: list[Polynomial], point: Fr,
                                   v_challenge: Fr) -> Polynomial:

@@ -105,6 +105,51 @@ class Permutation:
             state = state * num % _Q * inv % _Q
         return acc
 
+    @staticmethod
+    def compute_permutation_tensor(domain: Domain, wire_tensors,
+                                   sigma_eval_tensors, roots_tensor,
+                                   beta: Fr, gamma: Fr):
+        """Fully device-resident grand product: [16, n] Montgomery wire
+        evaluation tensors in, [16, n] z tensor out (permutation.rs:181-245).
+
+        The n denominator inversions collapse to ONE host inversion via
+        inv(prefix_den_i) = inv(total) * suffix_den_{i+1}: both prefix and
+        suffix products are log-depth associative scans on device."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import limb_field as lf
+        from ..ops.limb_field import FR
+
+        ks = (1, params.K1, params.K2, params.K3)
+        g_col = jnp.asarray(FR.const_mont(gamma.value))
+        num = None
+        den = None
+        for wire, k, sig in zip(wire_tensors, ks, sigma_eval_tensors):
+            bk = FR.const_mont(beta.value * k % _Q)
+            num_t = lf.add(FR, lf.add(FR, wire,
+                                      lf.mont_mul_const(FR, roots_tensor,
+                                                        bk)),
+                           jnp.broadcast_to(g_col, wire.shape))
+            den_t = lf.add(FR, lf.add(FR, wire,
+                                      lf.mont_mul_const(
+                                          FR, sig,
+                                          FR.const_mont(beta.value))),
+                           jnp.broadcast_to(g_col, wire.shape))
+            num = num_t if num is None else lf.mont_mul(FR, num, num_t)
+            den = den_t if den is None else lf.mont_mul(FR, den, den_t)
+
+        mul = lambda a, b: lf.mont_mul(FR, a, b)
+        pnum = jax.lax.associative_scan(mul, num, axis=1)
+        sden = jax.lax.associative_scan(mul, den, axis=1, reverse=True)
+        total = FR.from_mont_array(sden[:, :1])[0]
+        inv_total = jnp.asarray(FR.const_mont(pow(total, -1, _Q)))
+        one_col = jnp.asarray(FR.const_mont(1))
+        tail = mul(mul(pnum[:, :-1], sden[:, 1:]),
+                   jnp.broadcast_to(inv_total, (FR.n_limbs,
+                                                pnum.shape[-1] - 1)))
+        return jnp.concatenate([one_col, tail], axis=-1)
+
     def _permutation_vec_device(self, domain: Domain, wires, beta: Fr,
                                 gamma: Fr, sigma_polys) -> list[Fr]:
         import jax

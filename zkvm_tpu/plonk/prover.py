@@ -7,24 +7,41 @@ Round structure (prover.rs:210-509):
   4. evaluations at z / z*omega
   5. linearization r, aggregate KZG witnesses W_z and W_zw
 
-FFTs and large commits run on device; the transcript stays host-side.
+Round-2 redesign: every polynomial lives on device as a [16, len] uint32
+Montgomery tensor from witness ingestion to the final commitments -- wire
+iFFTs, the grand product, the 8n quotient, the 15 round-4 evaluations, the
+linearization combination and both ruffini divisions are device programs
+(see plonk/dpoly.py).  Host work per round is only the merlin transcript
+(inherently serial, bytes-sized) and the rng blinder draws; proof bytes are
+identical to the host-Polynomial path (pinned by the determinism test).
 """
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from ..fields import Fr
+from ..ops import limb_field as lf
+from ..ops.limb_field import FR
 from ..ops.ntt import Domain
+from ..ops.ntt_mxu import MXUTransform
 from ..utils import metrics
+from . import dpoly
 from .composer import Composer
 from .errors import PlonkError
 from .kzg10 import CommitKey
 from .polynomial import Polynomial
 from .proof import Proof, compute_barycentric_eval
-from .quotient import build_quotient_polynomial
+from .quotient import build_quotient_device
 from .transcript import Transcript
-from .widgets import ProofEvaluations, ProverKey, VerifierKey
+from .widgets import (ProofEvaluations, ProverKey, VerifierKey,
+                      _fixed_base_identity, _logic_identity, _range_identity,
+                      _var_base_identity)
+
+from .. import params as _params
 
 _Q = Fr.MODULUS
+K1, K2, K3 = _params.K1, _params.K2, _params.K3
 
 
 def base_transcript(label: bytes, verifier_key: VerifierKey,
@@ -38,12 +55,9 @@ def base_transcript(label: bytes, verifier_key: VerifierKey,
 
 def blind_poly(rng, witnesses: list[Fr], hiding_degree: int,
                domain: Domain) -> Polynomial:
-    """iFFT + hiding blinders (prover.rs:64-83)."""
+    """iFFT + hiding blinders (prover.rs:64-83) -- host-Polynomial helper
+    kept for tests and non-hot callers."""
     coeffs = domain.ifft(witnesses)
-    return _apply_blinders(rng, coeffs, hiding_degree)
-
-
-def _apply_blinders(rng, coeffs: list[Fr], hiding_degree: int) -> Polynomial:
     for i in range(hiding_degree + 1):
         blinder = Fr.random(rng)
         coeffs[i] = coeffs[i] - blinder
@@ -51,71 +65,36 @@ def _apply_blinders(rng, coeffs: list[Fr], hiding_degree: int) -> Polynomial:
     return Polynomial(coeffs)
 
 
-def blind_polys_batched(rng, witness_sets: list[list[Fr]],
-                        hiding_degree: int, domain: Domain) -> list[Polynomial]:
-    """blind_poly over several witness vectors with ONE batched device iFFT.
+def _pk_device(pk: ProverKey, domain: Domain):
+    """Device-resident ProverKey tensors, built once per key:
 
-    Blinders are drawn in the same order as sequential blind_poly calls, so
-    the rng stream (and hence the proof bytes) is unchanged."""
-    import jax.numpy as jnp
-
-    from ..ops import limb_field as lf
-    from ..ops.limb_field import FR
-    from ..ops.ntt_sharded import _BatchedNTT
-
+    coeff: [16, n] coefficient tensors of the 15 selector/sigma polynomials
+    sigma_evals: 4x [16, n] Lagrange-basis sigma values (grand product)
+    roots: [16, n] domain element table
+    """
+    cache = getattr(pk, "_device_poly_cache", None)
+    if cache is not None:
+        return cache
     n = domain.size
-    k = len(witness_sets)
-    vals = []
-    for ws in witness_sets:
-        vals.extend([w.value for w in ws] + [0] * (n - len(ws)))
-    stacked = FR.to_mont_array(vals)  # [L, k*n] set-major
-    x = jnp.transpose(stacked.reshape(FR.n_limbs, k, n), (0, 2, 1))
-    out = _BatchedNTT(n, k, inverse=True)(x)  # [L, n, k]
-    out = lf.mont_mul_const(FR, out.reshape(FR.n_limbs, -1),
-                            FR.const_mont(domain.size_inv))
-    # [L, n, k] -> [k, L, n] (from_mont_array expects the limb axis at -2)
-    flat = FR.from_mont_array(
-        jnp.transpose(out.reshape(FR.n_limbs, n, k), (2, 0, 1)))
-    return [_apply_blinders(rng, [Fr(v) for v in flat[i * n:(i + 1) * n]],
-                            hiding_degree)
-            for i in range(k)]
-
-
-def build_linearization_polynomial(prover_key: ProverKey, challenges,
-                                   z_poly: Polynomial,
-                                   evaluations: ProofEvaluations,
-                                   domain: Domain,
-                                   t_low: Polynomial, t_mid: Polynomial,
-                                   t_high: Polynomial, t_fourth: Polynomial,
-                                   pub_inputs: list[Fr]) -> Polynomial:
-    """linearization_poly.rs:146-272."""
-    (alpha, beta, gamma, range_sep, logic_sep, fixed_sep, var_sep,
-     z_challenge) = challenges
-    ev = evaluations
-    circuit_lin = (prover_key.arithmetic.compute_linearization(ev)
-                   + prover_key.range.compute_linearization(range_sep, ev)
-                   + prover_key.logic.compute_linearization(logic_sep, ev)
-                   + prover_key.fixed_base.compute_linearization(fixed_sep, ev)
-                   + prover_key.variable_base.compute_linearization(var_sep,
-                                                                    ev))
-    pi_eval = compute_barycentric_eval(pub_inputs, z_challenge, domain)
-    circuit_lin = circuit_lin + Polynomial([pi_eval])
-
-    permutation_lin = prover_key.permutation.compute_linearization(
-        z_challenge, (alpha, beta, gamma),
-        (ev.a_eval, ev.b_eval, ev.c_eval, ev.d_eval),
-        (ev.s_sigma_1_eval, ev.s_sigma_2_eval, ev.s_sigma_3_eval),
-        ev.z_eval, z_poly, domain)
-
-    n = domain.size
-    z_n = z_challenge.pow(n)
-    z_two_n = z_challenge.pow(2 * n)
-    z_three_n = z_challenge.pow(3 * n)
-    quotient = (t_low + t_mid.scale(z_n) + t_high.scale(z_two_n)
-                + t_fourth.scale(z_three_n))
-    z_h_eval = -domain.evaluate_vanishing_polynomial(z_challenge)
-    quotient = quotient.scale(z_h_eval)
-    return circuit_lin + permutation_lin + quotient
+    fams = (("q_m", pk.arithmetic.q_m), ("q_l", pk.arithmetic.q_l),
+            ("q_r", pk.arithmetic.q_r), ("q_o", pk.arithmetic.q_o),
+            ("q_f", pk.arithmetic.q_f), ("q_c", pk.arithmetic.q_c),
+            ("q_arith", pk.arithmetic.q_arith),
+            ("q_range", pk.range.q_range), ("q_logic", pk.logic.q_logic),
+            ("q_fixed_group_add", pk.fixed_base.q_fixed_group_add),
+            ("q_variable_group_add",
+             pk.variable_base.q_variable_group_add),
+            ("s_sigma_1", pk.permutation.s_sigma_1),
+            ("s_sigma_2", pk.permutation.s_sigma_2),
+            ("s_sigma_3", pk.permutation.s_sigma_3),
+            ("s_sigma_4", pk.permutation.s_sigma_4))
+    coeff = {name: dpoly.to_device(pair[0].coeffs, n) for name, pair in fams}
+    fwd = MXUTransform(n, domain.group_gen)
+    sigma_evals = [fwd(coeff[f"s_sigma_{i}"]) for i in range(1, 5)]
+    roots = dpoly.powers_device(dpoly.const_col(domain.group_gen), n)
+    cache = {"coeff": coeff, "sigma_evals": sigma_evals, "roots": roots}
+    pk._device_poly_cache = cache
+    return cache
 
 
 class Prover:
@@ -171,8 +150,11 @@ class Prover:
     def prove(self, rng, circuit) -> tuple[Proof, list[Fr]]:
         composer = Composer.prove(self.constraints, circuit)
         size = self.size
+        n = size
         domain = Domain(size)
         transcript = self.transcript.clone()
+        pk = self.prover_key
+        dc = _pk_device(pk, domain)
 
         public_inputs = composer.public_input_values()
         public_input_indexes = composer.public_input_indexes()
@@ -181,154 +163,230 @@ class Prover:
         for pi in public_inputs:
             transcript.append_scalar(b"pi", pi)
 
-        a_scalars = [Fr.zero()] * size
-        b_scalars = [Fr.zero()] * size
-        c_scalars = [Fr.zero()] * size
-        d_scalars = [Fr.zero()] * size
+        # witness ingestion: host values -> ONE [16, 4n] device transfer
+        wire_vals = [0] * (4 * n)
         for i, gate in enumerate(composer.constraints):
-            a_scalars[i] = composer[gate.a]
-            b_scalars[i] = composer[gate.b]
-            c_scalars[i] = composer[gate.c]
-            d_scalars[i] = composer[gate.d]
+            wire_vals[i] = composer[gate.a].value
+            wire_vals[n + i] = composer[gate.b].value
+            wire_vals[2 * n + i] = composer[gate.c].value
+            wire_vals[3 * n + i] = composer[gate.d].value
+        wires_flat = FR.to_mont_array(wire_vals)            # [16, 4n]
+        wires_ev = [wires_flat[:, k * n:(k + 1) * n] for k in range(4)]
 
-        # ROUND 1
-        _r1 = metrics.GLOBAL.span("prove/round1_wires")
-        _r1.__enter__()
-        a_poly, b_poly, c_poly, d_poly = blind_polys_batched(
-            rng, [a_scalars, b_scalars, c_scalars, d_scalars], 1, domain)
-        a_comm, b_comm, c_comm, d_comm = self.commit_key.commit_many(
-            [a_poly, b_poly, c_poly, d_poly])
-        transcript.append_commitment(b"a_comm", a_comm)
-        transcript.append_commitment(b"b_comm", b_comm)
-        transcript.append_commitment(b"c_comm", c_comm)
-        transcript.append_commitment(b"d_comm", d_comm)
-        beta = transcript.challenge_scalar(b"beta")
-        transcript.append_scalar(b"beta", beta)
-        gamma = transcript.challenge_scalar(b"gamma")
-        _r1.__exit__(None, None, None)
+        # ROUND 1: batched iFFT of the 4 wire vectors + blind + commit
+        with metrics.GLOBAL.span("prove/round1_wires"):
+            inv_t = MXUTransform(n, domain.group_gen_inv)
+            coeffs4 = inv_t(wires_flat.reshape(FR.n_limbs, 4, n))
+            coeffs4 = lf.mont_mul_const(
+                FR, coeffs4.reshape(FR.n_limbs, 4 * n),
+                FR.const_mont(domain.size_inv))
+            wire_polys = [
+                dpoly.apply_blinders_device(
+                    rng, coeffs4[:, k * n:(k + 1) * n], 1)
+                for k in range(4)]                           # [16, n+2] x4
+            a_comm, b_comm, c_comm, d_comm = \
+                self.commit_key.commit_many_mont(wire_polys)
+            transcript.append_commitment(b"a_comm", a_comm)
+            transcript.append_commitment(b"b_comm", b_comm)
+            transcript.append_commitment(b"c_comm", c_comm)
+            transcript.append_commitment(b"d_comm", d_comm)
+            beta = transcript.challenge_scalar(b"beta")
+            transcript.append_scalar(b"beta", beta)
+            gamma = transcript.challenge_scalar(b"gamma")
 
-        # ROUND 2
-        _r2 = metrics.GLOBAL.span("prove/round2_permutation")
-        _r2.__enter__()
-        sigma_polys = [self.prover_key.permutation.s_sigma_1[0],
-                       self.prover_key.permutation.s_sigma_2[0],
-                       self.prover_key.permutation.s_sigma_3[0],
-                       self.prover_key.permutation.s_sigma_4[0]]
-        permutation = composer.perm.compute_permutation_vec(
-            domain, [a_scalars, b_scalars, c_scalars, d_scalars],
-            beta, gamma, sigma_polys)
-        z_poly = blind_poly(rng, permutation, 2, domain)
-        z_comm = self.commit_key.commit(z_poly)
-        transcript.append_commitment(b"z_comm", z_comm)
-        alpha = transcript.challenge_scalar(b"alpha")
-        range_sep = transcript.challenge_scalar(b"range separation challenge")
-        logic_sep = transcript.challenge_scalar(b"logic separation challenge")
-        fixed_sep = transcript.challenge_scalar(
-            b"fixed base separation challenge")
-        var_sep = transcript.challenge_scalar(
-            b"variable base separation challenge")
-        _r2.__exit__(None, None, None)
+        # ROUND 2: grand product z (device scans) + blind + commit
+        with metrics.GLOBAL.span("prove/round2_permutation"):
+            from .permutation import Permutation
 
-        # ROUND 3
-        _r3 = metrics.GLOBAL.span("prove/round3_quotient")
-        _r3.__enter__()
-        pi_poly = Polynomial(domain.ifft(dense_public_inputs))
-        t_poly = build_quotient_polynomial(
-            domain, self.prover_key, z_poly,
-            (a_poly, b_poly, c_poly, d_poly), pi_poly,
-            (alpha, beta, gamma, range_sep, logic_sep, fixed_sep, var_sep))
+            z_ev = Permutation.compute_permutation_tensor(
+                domain, wires_ev, dc["sigma_evals"], dc["roots"],
+                beta, gamma)
+            z_coeffs = domain.ifft_device(z_ev)
+            z_poly = dpoly.apply_blinders_device(rng, z_coeffs, 2)  # [16,n+3]
+            z_comm = self.commit_key.commit_many_mont([z_poly])[0]
+            transcript.append_commitment(b"z_comm", z_comm)
+            alpha = transcript.challenge_scalar(b"alpha")
+            range_sep = transcript.challenge_scalar(
+                b"range separation challenge")
+            logic_sep = transcript.challenge_scalar(
+                b"logic separation challenge")
+            fixed_sep = transcript.challenge_scalar(
+                b"fixed base separation challenge")
+            var_sep = transcript.challenge_scalar(
+                b"variable base separation challenge")
 
-        tc = t_poly.coeffs + [Fr.zero()] * max(0, 4 * size - len(t_poly.coeffs))
-        t_low_vec = tc[0:size]
-        t_mid_vec = tc[size: 2 * size]
-        t_high_vec = tc[2 * size: 3 * size]
-        t_fourth_vec = tc[3 * size:]
-        b_12, b_13, b_14 = (Fr.random(rng), Fr.random(rng), Fr.random(rng))
-        t_low_vec = t_low_vec + [b_12]
-        t_mid_vec = [t_mid_vec[0] - b_12] + t_mid_vec[1:] + [b_13]
-        t_high_vec = [t_high_vec[0] - b_13] + t_high_vec[1:] + [b_14]
-        t_fourth_vec = [t_fourth_vec[0] - b_14] + t_fourth_vec[1:]
-        t_low_poly = Polynomial(t_low_vec)
-        t_mid_poly = Polynomial(t_mid_vec)
-        t_high_poly = Polynomial(t_high_vec)
-        t_fourth_poly = Polynomial(t_fourth_vec)
-        t_low_comm, t_mid_comm, t_high_comm, t_fourth_comm = (
-            self.commit_key.commit_many(
-                [t_low_poly, t_mid_poly, t_high_poly, t_fourth_poly]))
-        transcript.append_commitment(b"t_low_comm", t_low_comm)
-        transcript.append_commitment(b"t_mid_comm", t_mid_comm)
-        transcript.append_commitment(b"t_high_comm", t_high_comm)
-        transcript.append_commitment(b"t_fourth_comm", t_fourth_comm)
-        z_challenge = transcript.challenge_scalar(b"z_challenge")
-        _r3.__exit__(None, None, None)
+        # ROUND 3: quotient over the 8n coset + split + cross-blind + commit
+        with metrics.GLOBAL.span("prove/round3_quotient"):
+            pi_dev = domain.ifft_device(
+                dpoly.to_device(dense_public_inputs, n))
+            t_coeffs = build_quotient_device(
+                domain, pk, z_poly, wire_polys, pi_dev,
+                (alpha, beta, gamma, range_sep, logic_sep, fixed_sep,
+                 var_sep))                                   # [16, 8n]
+            # t has degree ~4n+6 (permutation identity: z * four linear-ish
+            # wire factors); the fourth chunk keeps the high tail
+            b_12, b_13, b_14 = (Fr.random(rng), Fr.random(rng),
+                                Fr.random(rng))
+            bc = [dpoly.const_col(b.value) for b in (b_12, b_13, b_14)]
+            chunk = [t_coeffs[:, :n], t_coeffs[:, n:2 * n],
+                     t_coeffs[:, 2 * n:3 * n],
+                     t_coeffs[:, 3 * n:min(4 * n + 7, 8 * n)]]
 
-        # ROUND 4
-        _r4 = metrics.GLOBAL.span("prove/round4_evaluations")
-        _r4.__enter__()
-        shifted = z_challenge * Fr(domain.group_gen)
-        pk = self.prover_key
-        a_eval = a_poly.evaluate(z_challenge)
-        b_eval = b_poly.evaluate(z_challenge)
-        c_eval = c_poly.evaluate(z_challenge)
-        d_eval = d_poly.evaluate(z_challenge)
-        s_sigma_1_eval = pk.permutation.s_sigma_1[0].evaluate(z_challenge)
-        s_sigma_2_eval = pk.permutation.s_sigma_2[0].evaluate(z_challenge)
-        s_sigma_3_eval = pk.permutation.s_sigma_3[0].evaluate(z_challenge)
-        z_eval = z_poly.evaluate(shifted)
-        transcript.append_scalar(b"a_eval", a_eval)
-        transcript.append_scalar(b"b_eval", b_eval)
-        transcript.append_scalar(b"c_eval", c_eval)
-        transcript.append_scalar(b"d_eval", d_eval)
-        transcript.append_scalar(b"s_sigma_1_eval", s_sigma_1_eval)
-        transcript.append_scalar(b"s_sigma_2_eval", s_sigma_2_eval)
-        transcript.append_scalar(b"s_sigma_3_eval", s_sigma_3_eval)
-        transcript.append_scalar(b"z_eval", z_eval)
-        a_w_eval = a_poly.evaluate(shifted)
-        b_w_eval = b_poly.evaluate(shifted)
-        d_w_eval = d_poly.evaluate(shifted)
-        q_arith_eval = pk.arithmetic.q_arith[0].evaluate(z_challenge)
-        q_c_eval = pk.logic.q_c[0].evaluate(z_challenge)
-        q_l_eval = pk.fixed_base.q_l[0].evaluate(z_challenge)
-        q_r_eval = pk.fixed_base.q_r[0].evaluate(z_challenge)
-        transcript.append_scalar(b"a_w_eval", a_w_eval)
-        transcript.append_scalar(b"b_w_eval", b_w_eval)
-        transcript.append_scalar(b"d_w_eval", d_w_eval)
-        transcript.append_scalar(b"q_arith_eval", q_arith_eval)
-        transcript.append_scalar(b"q_c_eval", q_c_eval)
-        transcript.append_scalar(b"q_l_eval", q_l_eval)
-        transcript.append_scalar(b"q_r_eval", q_r_eval)
-        evaluations = ProofEvaluations(
-            a_eval=a_eval, b_eval=b_eval, c_eval=c_eval, d_eval=d_eval,
-            a_w_eval=a_w_eval, b_w_eval=b_w_eval, d_w_eval=d_w_eval,
-            q_arith_eval=q_arith_eval, q_c_eval=q_c_eval, q_l_eval=q_l_eval,
-            q_r_eval=q_r_eval, s_sigma_1_eval=s_sigma_1_eval,
-            s_sigma_2_eval=s_sigma_2_eval, s_sigma_3_eval=s_sigma_3_eval,
-            z_eval=z_eval)
+            def cross(chunk_t, head_blinder, tail_blinder):
+                head = (chunk_t[:, :1] if head_blinder is None else
+                        lf.sub(FR, chunk_t[:, :1], head_blinder))
+                parts = [head, chunk_t[:, 1:]]
+                if tail_blinder is not None:
+                    parts.append(tail_blinder)
+                return jnp.concatenate(parts, axis=-1)
 
-        _r4.__exit__(None, None, None)
+            t_low = cross(chunk[0], None, bc[0])
+            t_mid = cross(chunk[1], bc[0], bc[1])
+            t_high = cross(chunk[2], bc[1], bc[2])
+            t_fourth = cross(chunk[3], bc[2], None)
+            t_polys = [t_low, t_mid, t_high, t_fourth]
+            (t_low_comm, t_mid_comm, t_high_comm,
+             t_fourth_comm) = self.commit_key.commit_many_mont(t_polys)
+            transcript.append_commitment(b"t_low_comm", t_low_comm)
+            transcript.append_commitment(b"t_mid_comm", t_mid_comm)
+            transcript.append_commitment(b"t_high_comm", t_high_comm)
+            transcript.append_commitment(b"t_fourth_comm", t_fourth_comm)
+            z_challenge = transcript.challenge_scalar(b"z_challenge")
 
-        # ROUND 5
-        _r5 = metrics.GLOBAL.span("prove/round5_openings")
-        _r5.__enter__()
-        v_challenge = transcript.challenge_scalar(b"v_challenge")
-        r_poly = build_linearization_polynomial(
-            pk, (alpha, beta, gamma, range_sep, logic_sep, fixed_sep,
-                 var_sep, z_challenge),
-            z_poly, evaluations, domain,
-            t_low_poly, t_mid_poly, t_high_poly, t_fourth_poly,
-            public_inputs)
-        aggregate_witness = CommitKey.compute_aggregate_witness(
-            [r_poly, a_poly, b_poly, c_poly, d_poly,
-             pk.permutation.s_sigma_1[0], pk.permutation.s_sigma_2[0],
-             pk.permutation.s_sigma_3[0]],
-            z_challenge, v_challenge)
-        w_z_chall_comm = self.commit_key.commit(aggregate_witness)
-        v_w_challenge = transcript.challenge_scalar(b"v_w_challenge")
-        shifted_aggregate_witness = CommitKey.compute_aggregate_witness(
-            [z_poly, a_poly, b_poly, d_poly], shifted, v_w_challenge)
-        w_z_chall_w_comm = self.commit_key.commit(shifted_aggregate_witness)
+        # ROUND 4: 15 evaluations at z / z*omega (two batched device evals)
+        with metrics.GLOBAL.span("prove/round4_evaluations"):
+            shifted = z_challenge * Fr(domain.group_gen)
+            co = dc["coeff"]
+            at_z = [wire_polys[0], wire_polys[1], wire_polys[2],
+                    wire_polys[3], co["s_sigma_1"], co["s_sigma_2"],
+                    co["s_sigma_3"], co["q_arith"], co["q_c"], co["q_l"],
+                    co["q_r"]]
+            m_z = max(t.shape[-1] for t in at_z)
+            stack_z = jnp.stack(
+                [jnp.pad(t, [(0, 0), (0, m_z - t.shape[-1])]) for t in at_z])
+            (a_eval, b_eval, c_eval, d_eval, s_sigma_1_eval, s_sigma_2_eval,
+             s_sigma_3_eval, q_arith_eval, q_c_eval, q_l_eval,
+             q_r_eval) = dpoly.eval_stack(stack_z, z_challenge)
 
-        _r5.__exit__(None, None, None)
+            at_w = [wire_polys[0], wire_polys[1], wire_polys[3], z_poly]
+            m_w = max(t.shape[-1] for t in at_w)
+            stack_w = jnp.stack(
+                [jnp.pad(t, [(0, 0), (0, m_w - t.shape[-1])]) for t in at_w])
+            a_w_eval, b_w_eval, d_w_eval, z_eval = dpoly.eval_stack(
+                stack_w, shifted)
+
+            transcript.append_scalar(b"a_eval", a_eval)
+            transcript.append_scalar(b"b_eval", b_eval)
+            transcript.append_scalar(b"c_eval", c_eval)
+            transcript.append_scalar(b"d_eval", d_eval)
+            transcript.append_scalar(b"s_sigma_1_eval", s_sigma_1_eval)
+            transcript.append_scalar(b"s_sigma_2_eval", s_sigma_2_eval)
+            transcript.append_scalar(b"s_sigma_3_eval", s_sigma_3_eval)
+            transcript.append_scalar(b"z_eval", z_eval)
+            transcript.append_scalar(b"a_w_eval", a_w_eval)
+            transcript.append_scalar(b"b_w_eval", b_w_eval)
+            transcript.append_scalar(b"d_w_eval", d_w_eval)
+            transcript.append_scalar(b"q_arith_eval", q_arith_eval)
+            transcript.append_scalar(b"q_c_eval", q_c_eval)
+            transcript.append_scalar(b"q_l_eval", q_l_eval)
+            transcript.append_scalar(b"q_r_eval", q_r_eval)
+            evaluations = ProofEvaluations(
+                a_eval=a_eval, b_eval=b_eval, c_eval=c_eval, d_eval=d_eval,
+                a_w_eval=a_w_eval, b_w_eval=b_w_eval, d_w_eval=d_w_eval,
+                q_arith_eval=q_arith_eval, q_c_eval=q_c_eval,
+                q_l_eval=q_l_eval, q_r_eval=q_r_eval,
+                s_sigma_1_eval=s_sigma_1_eval,
+                s_sigma_2_eval=s_sigma_2_eval,
+                s_sigma_3_eval=s_sigma_3_eval, z_eval=z_eval)
+
+        # ROUND 5: linearization + two aggregate openings (device lin-comb
+        # and ruffini; linearization_poly.rs:146-272 scalar factors on host)
+        with metrics.GLOBAL.span("prove/round5_openings"):
+            v_challenge = transcript.challenge_scalar(b"v_challenge")
+            ev = evaluations
+            qa = q_arith_eval
+            terms = [
+                (co["q_m"], a_eval * b_eval * qa),
+                (co["q_l"], a_eval * qa),
+                (co["q_r"], b_eval * qa),
+                (co["q_o"], c_eval * qa),
+                (co["q_f"], d_eval * qa),
+                (co["q_c"], qa),
+                (co["q_range"], Fr(_range_identity(
+                    range_sep.value, a_eval.value, b_eval.value,
+                    c_eval.value, d_eval.value, d_w_eval.value))),
+                (co["q_logic"], Fr(_logic_identity(
+                    logic_sep.value, a_eval.value, a_w_eval.value,
+                    b_eval.value, b_w_eval.value, c_eval.value,
+                    d_eval.value, d_w_eval.value, q_c_eval.value))),
+                (co["q_fixed_group_add"], Fr(_fixed_base_identity(
+                    fixed_sep.value, a_eval.value, a_w_eval.value,
+                    b_eval.value, b_w_eval.value, c_eval.value,
+                    d_eval.value, d_w_eval.value, q_l_eval.value,
+                    q_r_eval.value, q_c_eval.value))),
+                (co["q_variable_group_add"], Fr(_var_base_identity(
+                    var_sep.value, a_eval.value, a_w_eval.value,
+                    b_eval.value, b_w_eval.value, c_eval.value,
+                    d_eval.value, d_w_eval.value))),
+            ]
+            # permutation linearization (widget/permutation compute_lin.)
+            beta_z = beta * z_challenge
+            acc = ((a_eval + beta_z + gamma)
+                   * (b_eval + Fr(K1) * beta_z + gamma)
+                   * (c_eval + Fr(K2) * beta_z + gamma)
+                   * (d_eval + Fr(K3) * beta_z + gamma) * alpha)
+            zn = pow(z_challenge.value, n, _Q)
+            # L1(z) = (z^n - 1) / (n (z - 1))
+            l_1_z = Fr((zn - 1) % _Q) * Fr(pow(
+                n * (z_challenge.value - 1) % _Q, -1, _Q)) \
+                if z_challenge.value != 1 else Fr.one()
+            terms.append((z_poly, acc + l_1_z * alpha * alpha))
+            copy_acc = ((a_eval + beta * s_sigma_1_eval + gamma)
+                        * (b_eval + beta * s_sigma_2_eval + gamma)
+                        * (c_eval + beta * s_sigma_3_eval + gamma)
+                        * (beta * z_eval) * alpha)
+            terms.append((co["s_sigma_4"], -copy_acc))
+            # quotient recombination, scaled by -Z_H(z)
+            z_h = Fr((pow(z_challenge.value, n, _Q) - 1) % _Q)
+            neg_zh = -z_h
+            z_n = Fr(zn)
+            terms.append((t_low, neg_zh))
+            terms.append((t_mid, neg_zh * z_n))
+            terms.append((t_high, neg_zh * z_n * z_n))
+            terms.append((t_fourth, neg_zh * z_n * z_n * z_n))
+
+            lin_size = max(t.shape[-1] for t, _ in terms)
+            r_poly = dpoly.lin_comb(terms, lin_size)
+            pi_eval = compute_barycentric_eval(public_inputs, z_challenge,
+                                               domain)
+            r_poly = jnp.concatenate(
+                [lf.add(FR, r_poly[:, :1], dpoly.const_col(pi_eval.value)),
+                 r_poly[:, 1:]], axis=-1)
+
+            v = v_challenge
+            vs = [Fr.one()]
+            for _ in range(7):
+                vs.append(vs[-1] * v)
+            agg_terms = [(r_poly, vs[0]), (wire_polys[0], vs[1]),
+                         (wire_polys[1], vs[2]), (wire_polys[2], vs[3]),
+                         (wire_polys[3], vs[4]), (co["s_sigma_1"], vs[5]),
+                         (co["s_sigma_2"], vs[6]), (co["s_sigma_3"], vs[7])]
+            agg_size = max(t.shape[-1] for t, _ in agg_terms)
+            aggregate = dpoly.lin_comb(agg_terms, agg_size)
+            w_z = dpoly.ruffini_device(aggregate, z_challenge)
+
+            v_w_challenge = transcript.challenge_scalar(b"v_w_challenge")
+            vw = v_w_challenge
+            shift_terms = [(z_poly, Fr.one()), (wire_polys[0], vw),
+                           (wire_polys[1], vw * vw),
+                           (wire_polys[3], vw * vw * vw)]
+            shift_size = max(t.shape[-1] for t, _ in shift_terms)
+            shifted_agg = dpoly.lin_comb(shift_terms, shift_size)
+            w_zw = dpoly.ruffini_device(shifted_agg, shifted)
+
+            w_z_chall_comm, w_z_chall_w_comm = \
+                self.commit_key.commit_many_mont([w_z, w_zw])
+
         proof = Proof(a_comm, b_comm, c_comm, d_comm, z_comm, t_low_comm,
                       t_mid_comm, t_high_comm, t_fourth_comm, w_z_chall_comm,
                       w_z_chall_w_comm, evaluations)

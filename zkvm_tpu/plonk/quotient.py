@@ -56,39 +56,31 @@ def _to_device_coeffs(poly: Polynomial, size: int) -> jnp.ndarray:
     return FR.to_mont_array(vals)
 
 
-def build_quotient_polynomial(domain: Domain, prover_key: ProverKey,
-                              z_poly: Polynomial, wires, pi_poly: Polynomial,
-                              challenges) -> Polynomial:
+def build_quotient_device(domain: Domain, prover_key: ProverKey,
+                          z_dev, wires_dev, pi_dev, challenges):
+    """Device-resident quotient: [16, len] Montgomery coefficient tensors in,
+    [16, 8n] quotient coefficients out -- no host conversion anywhere."""
     (alpha, beta, gamma, range_ch, logic_ch, fixed_ch, var_ch) = challenges
-    a_poly, b_poly, c_poly, d_poly = wires
     n = domain.size
     domain_8n = Domain(8 * n)
     size_8n = domain_8n.size
     sel, v_h_inv, linear = _device_cache(prover_key)
 
-    # ONE batched coset FFT for all six polynomials (a, b, c, d, z, PI):
-    # 6x fewer dispatches/transfers than per-polynomial transforms
     from ..ops import limb_field as lf
-    from ..ops.ntt_sharded import _BatchedNTT
+    from ..ops.ntt_mxu import MXUTransform
 
-    cache = getattr(prover_key, "_qbatch_cache", None)
-    if cache is None or cache[0].n != size_8n:
-        cache = (_BatchedNTT(size_8n, 6, inverse=False),
-                 jnp.repeat(domain_8n._factor("coset"), 6, axis=-1))
-        prover_key._qbatch_cache = cache
-    batched_fft, coset_rep = cache
-
-    polys = (a_poly, b_poly, c_poly, d_poly, z_poly, pi_poly)
-    vals = []
-    for poly in polys:
-        pv = [c.value for c in poly.coeffs]
-        vals.extend(pv + [0] * (size_8n - len(pv)))
-    stacked = FR.to_mont_array(vals)  # [L, 6*8n], poly-major
-    x = jnp.transpose(stacked.reshape(FR.n_limbs, 6, size_8n), (0, 2, 1))
-    x = lf.mont_mul(FR, x.reshape(FR.n_limbs, -1),
-                    coset_rep).reshape(FR.n_limbs, size_8n, 6)
-    evals = batched_fft(x)  # [L, 8n, 6]
-    a8, b8, c8, d8, z8, pi8 = (evals[..., i] for i in range(6))
+    # ONE batched coset FFT for all six polynomials (a, b, c, d, z, PI)
+    polys = tuple(wires_dev) + (z_dev, pi_dev)
+    stacked = jnp.stack(
+        [jnp.pad(p, [(0, 0), (0, size_8n - p.shape[-1])]) for p in polys],
+        axis=1)  # [L, 6, 8n]
+    coset = domain_8n._factor("coset")  # [L, 8n]
+    shifted = lf.mont_mul(
+        FR, stacked.reshape(FR.n_limbs, -1),
+        jnp.tile(coset, (1, 6))).reshape(FR.n_limbs, 6, size_8n)
+    fwd = MXUTransform(size_8n, domain_8n.group_gen)
+    evals = fwd(shifted)  # [L, 6, 8n]
+    a8, b8, c8, d8, z8, pi8 = (evals[:, i, :] for i in range(6))
     # shifted (X*omega) accesses: +8 with wrap-around == roll by -8
     # (quotient_poly.rs:46-59)
     a8w = jnp.roll(a8, -8, axis=-1)
@@ -116,5 +108,18 @@ def build_quotient_polynomial(domain: Domain, prover_key: ProverKey,
         sel, (a8, b8, c8, d8, a8w, b8w, d8w), z8, z8w, pi8, l1_8n, linear,
         chals)
     quotient = qk.pointwise_divide(numerator, v_h_inv)
-    coeffs = domain_8n.coset_ifft_device(quotient)
+    return domain_8n.coset_ifft_device(quotient)  # [L, 8n] coefficients
+
+
+def build_quotient_polynomial(domain: Domain, prover_key: ProverKey,
+                              z_poly: Polynomial, wires, pi_poly: Polynomial,
+                              challenges) -> Polynomial:
+    """Host-Polynomial wrapper around build_quotient_device."""
+    def dev(p):
+        vals = [c.value for c in p.coeffs]
+        return FR.to_mont_array(vals) if vals else FR.to_mont_array([0])
+
+    coeffs = build_quotient_device(
+        domain, prover_key, dev(z_poly), tuple(dev(w) for w in wires),
+        dev(pi_poly), challenges)
     return Polynomial([Fr(v) for v in FR.from_mont_array(coeffs)])
