@@ -9,6 +9,21 @@ compute paths (NTT, MSM, Poseidon, quotient evaluation) running as batched
 limb kernels on TPU via JAX/Pallas and scaling over device meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from . import params  # noqa: F401
+import os as _os
+
+# Persistent XLA compile cache: the MSM/NTT kernel specializations take
+# minutes to compile through a remote-device tunnel; recurring shapes must
+# hit the cache across processes (override dir via ZKVM_JAX_CACHE).
+try:  # pragma: no cover - depends on jax version/options
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("ZKVM_JAX_CACHE", "/tmp/zkvm_tpu_jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
+from . import params  # noqa: F401,E402

@@ -171,19 +171,92 @@ def multi_miller_loop(terms: list[tuple[G1Affine, G2Prepared]]) -> Fp12:
 _HARD_EXP = 3 * ((_P**4 - _P**2 + 1) // Fr.MODULUS)
 
 
-def final_exponentiation(f: Fp12) -> Gt:
-    """Easy part by frobenius/inversion, hard part by plain exponentiation.
+def _fp4_square(a: Fp2, b: Fp2) -> tuple[Fp2, Fp2]:
+    """(a + b*v)^2 in Fp4 = Fp2[v]/(v^2 - u) (pairings.rs fp4_square)."""
+    t0 = a.square()
+    t1 = b.square()
+    t2 = t1.mul_by_nonresidue()
+    c0 = t2 + t0
+    t2 = (a + b).square() - t0 - t1
+    return c0, t2
 
-    The hard exponent is 3*(p^4 - p^2 + 1)/r: the reference's addition-chain
-    (pairings.rs final_exponentiation, the zkcrypto chain) computes that
-    cube of the minimal pairing -- still a perfect pairing since gcd(3,r)=1,
-    and matching it keeps Gt values bit-identical (pinned by the relic
-    constants in tests/test_golden_vectors.py).
-    """
+
+def cyclotomic_square(f: Fp12) -> Fp12:
+    """Granger-Scott squaring for cyclotomic-subgroup elements
+    (pairings.rs cyclotomic_square): 3 Fp4 squarings instead of a full
+    Fp12 square -- the workhorse of the hard-part addition chain."""
+    z0, z4, z3 = f.c0.c0, f.c0.c1, f.c0.c2
+    z2, z1, z5 = f.c1.c0, f.c1.c1, f.c1.c2
+
+    t0, t1 = _fp4_square(z0, z1)
+    z0 = t0 - z0
+    z0 = z0 + z0 + t0
+    z1 = t1 + z1
+    z1 = z1 + z1 + t1
+
+    t0, t1 = _fp4_square(z2, z3)
+    t2, t3 = _fp4_square(z4, z5)
+
+    z4 = t0 - z4
+    z4 = z4 + z4 + t0
+    z5 = t1 + z5
+    z5 = z5 + z5 + t1
+
+    t0 = t3.mul_by_nonresidue()
+    z2 = t0 + z2
+    z2 = z2 + z2 + t0
+    z3 = t2 - z3
+    z3 = z3 + z3 + t2
+
+    return Fp12(Fp6(z0, z4, z3), Fp6(z2, z1, z5))
+
+
+def _cyclotomic_exp(f: Fp12) -> Fp12:
+    """f^|BLS_X| by square-and-multiply with cyclotomic squarings, then
+    conjugate (BLS_X is negative) -- pairings.rs cycolotomic_exp."""
+    x = params.BLS_X
+    tmp = Fp12.one()
+    found_one = False
+    for i in range(63, -1, -1):
+        if found_one:
+            tmp = cyclotomic_square(tmp)
+        bit = (x >> i) & 1
+        if bit:
+            found_one = True
+            tmp = tmp * f
+    return tmp.conjugate() if params.BLS_X_IS_NEGATIVE else tmp
+
+
+def final_exponentiation(f: Fp12) -> Gt:
+    """Easy part by frobenius/inversion; hard part by the reference's
+    addition chain (pairings.rs final_exponentiation / the zkcrypto chain),
+    which computes f^(3*(p^4 - p^2 + 1)/r) -- the cube of the minimal
+    pairing, still perfect since gcd(3, r) = 1.  Gt values stay
+    bit-identical to round 1's plain pow of _HARD_EXP (cross-checked by
+    tests/test_curves.py and the relic constants in
+    tests/test_golden_vectors.py); ~70 cyclotomic squarings + a handful of
+    Fp12 muls instead of a 4600-bit exponentiation."""
     # easy: f^(p^6 - 1) then ^(p^2 + 1)
-    t = f.conjugate() * f.invert()
-    t = t.frobenius_map().frobenius_map() * t
-    return Gt(t.pow(_HARD_EXP))
+    t2 = f.conjugate() * f.invert()
+    t1 = t2
+    t2 = t2.frobenius_map().frobenius_map() * t1
+    # hard part
+    t1 = cyclotomic_square(t2).conjugate()
+    t3 = _cyclotomic_exp(t2)
+    t4 = cyclotomic_square(t3)
+    t5 = t1 * t3
+    t1 = _cyclotomic_exp(t5)
+    t0 = _cyclotomic_exp(t1)
+    t6 = _cyclotomic_exp(t0) * t4
+    t4 = _cyclotomic_exp(t6)
+    t5 = t5.conjugate()
+    t4 = t4 * t5 * t2
+    t5 = t2.conjugate()
+    t1 = (t1 * t2).frobenius_map().frobenius_map().frobenius_map()
+    t6 = (t6 * t5).frobenius_map()
+    t3 = (t3 * t0).frobenius_map().frobenius_map()
+    t3 = t3 * t1 * t6
+    return Gt(t3 * t4)
 
 
 def pairing(p: G1Affine, q: G2Affine) -> Gt:

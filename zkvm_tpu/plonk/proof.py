@@ -160,17 +160,24 @@ class Proof:
         msm_scalars.append(z_challenge)
         msm_scalars.append(u_challenge * z_challenge * Fr(domain.group_gen))
 
-        msm_results = [p * s for p, s in zip(msm_points, msm_scalars)]
-        aggregated = G1Projective.identity()
-        for r in msm_results[:V_MAX_DEGREE]:
-            aggregated = aggregated + r
-        aggregated = aggregated + lin_comm
-        e_commitment = msm_results[V_MAX_DEGREE]
+        # the first V_MAX_DEGREE terms, e_commitment (negated) and the two
+        # z-terms all fold into `right`, so they run as ONE pippenger MSM
+        # (proof.rs:335-375 runs the same fold rayon-parallel per point)
+        right_points = msm_points[:V_MAX_DEGREE] + [
+            msm_points[V_MAX_DEGREE],      # g * (-e_scalar)
+            msm_points[V_MAX_DEGREE + 2],  # w_z_chall * z
+            msm_points[V_MAX_DEGREE + 3],  # w_z_chall_w * u*z*omega
+        ]
+        right_scalars = msm_scalars[:V_MAX_DEGREE] + [
+            -msm_scalars[V_MAX_DEGREE],
+            msm_scalars[V_MAX_DEGREE + 2],
+            msm_scalars[V_MAX_DEGREE + 3],
+        ]
+        right = (msm_variable_base(right_points, right_scalars)
+                 + lin_comm).to_affine()
         left = (-(self.w_z_chall_comm.point.to_projective()
-                  + msm_results[V_MAX_DEGREE + 1])).to_affine()
-        right = (msm_results[V_MAX_DEGREE + 2]
-                 + msm_results[V_MAX_DEGREE + 3]
-                 + aggregated - e_commitment).to_affine()
+                  + msm_points[V_MAX_DEGREE + 1]
+                  * msm_scalars[V_MAX_DEGREE + 1])).to_affine()
         result = final_exponentiation(multi_miller_loop([
             (left, opening_key.prepared_x_h),
             (right, opening_key.prepared_h)]))
