@@ -12,10 +12,22 @@ single-thread CPU implementation.
 
 import json
 import random
+import sys
 import time
 
 
 def main():
+    if "--all" in sys.argv or "--only" in sys.argv:
+        # per-op suite mirroring the reference's criterion benches
+        # (benches/groups.rs, hash_to_curve.rs, jubjub fq/fr/point benches)
+        # plus device kernels and e2e prove/verify; one JSON line per op.
+        from zkvm_tpu.utils.benches import run_all
+
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        run_all(only)
+        return
     n = 1 << 13
     rng = random.Random(42)
 

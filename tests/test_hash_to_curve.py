@@ -45,3 +45,47 @@ def test_expand_message_xmd_basic():
     assert len(out) == 32
     out2 = expand_message_xmd(b"abc", b"QUUX-V01-CS02-with-expander-SHA256-128", 128)
     assert out2[:0] == b"" and len(out2) == 128
+
+
+# -- expand_message_xof (RFC 9380 K.6 / expand_msg.rs:800-930 vectors) --------
+
+def test_expand_message_xof_shake128_vectors():
+    from zkvm_tpu.curves.hash_to_curve import expand_message_xof
+
+    dst = b"QUUX-V01-CS02-with-expander-SHAKE128"
+    q128 = b"q128_" + b"q" * 128
+    a512 = b"a512_" + b"a" * 512
+    vectors_32 = [
+        (b"", "86518c9cd86581486e9485aa74ab35ba150d1c75c88e26b7"
+              "043e44e2acd735a2"),
+        (b"abc", "8696af52a4d862417c0763556073f47bc9b9ba43c99b5053"
+                 "05cb1ec04a9ab468"),
+        (b"abcdef0123456789", "912c58deac4821c3509dbefa094df54b34b8f5d01a19"
+                              "1d1d3108a2c89077acca"),
+        (q128, "1adbcc448aef2a0cebc71dac9f756b22e51839d348e031e6"
+               "3b33ebb50faeaf3f"),
+        (a512, "df3447cc5f3e9a77da10f819218ddf31342c310778e0e4ef"
+               "72bbaecee786a4fe"),
+    ]
+    for msg, expect in vectors_32:
+        assert expand_message_xof(msg, dst, 0x20).hex() == expect, msg[:16]
+
+    vectors_128 = [
+        (b"", "7314ff1a155a2fb99a0171dc71b89ab6e3b2b7d59e38e64419b8b6294d03"
+              "ffee42491f11370261f436220ef787f8f76f5b26bdcd850071920ce023f3"
+              "ac46847744f4612b8714db8f5db83205b2e625d95afd7d7b4d3094d3bdde"
+              "815f52850bb41ead9822e08f22cf41d615a303b0d9dde73263c049a7b989"
+              "8208003a739a2e57"),
+        (b"abc", "c952f0c8e529ca8824acc6a4cab0e782fc3648c563ddb00da7399f2ae3"
+                 "5654f4860ec671db2356ba7baa55a34a9d7f79197b60ddae6e64768a37"
+                 "d699a78323496db3878c8d64d909d0f8a7de4927dcab0d3dbbc26cb20a"
+                 "49eceb0530b431cdf47bc8c0fa3e0d88f53b318b6739fbed7d7634974f"
+                 "1b5c386d6230c76260d5337a"),
+        (b"abcdef0123456789",
+         "19b65ee7afec6ac06a144f2d6134f08eeec185f1a890fe34e68f0e377b7d0312"
+         "883c048d9b8a1d6ecc3b541cb4987c26f45e0c82691ea299b5e6889bbfe58915"
+         "3016d8131717ba26f07c3c14ffbef1f3eff9752e5b6183f43871a78219a75e70"
+         "00fbac6a7072e2b83c790a3a5aecd9d14be79f9fd4fb180960a3772e08680495"),
+    ]
+    for msg, expect in vectors_128:
+        assert expand_message_xof(msg, dst, 0x80).hex() == expect, msg[:16]

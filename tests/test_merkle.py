@@ -127,3 +127,26 @@ def test_walk():
         tree.insert(i, _leaf(i))
     items = list(tree.walk(lambda item: True))
     assert len(items) == 3
+
+
+def test_whole_tree_archive_roundtrip():
+    """Whole-tree archive parity (coset-merkle/src/node.rs:158-214)."""
+    from zkvm_tpu.fields import Fr
+    from zkvm_tpu.merkle.poseidon_tree import Item, PoseidonTree
+
+    tree = PoseidonTree(3)
+    for i in (0, 5, 11, 37, 62):
+        tree.insert(i, Item(Fr(5000 + i)))
+    blob = tree.to_archive_bytes()
+    back = PoseidonTree.from_archive_bytes(blob)
+    assert back.height == tree.height and back.arity == tree.arity
+    assert back.positions == tree.positions
+    assert back.root() == tree.root()
+    op = back.opening(37)
+    assert op.verify(Item(Fr(5037)))
+    # mutations after reload behave identically
+    tree.insert(3, Item(Fr(5003)))
+    back.insert(3, Item(Fr(5003)))
+    assert back.root() == tree.root()
+    # second archive round trip is byte-stable
+    assert back.to_archive_bytes() == tree.to_archive_bytes()

@@ -70,6 +70,27 @@ class G2Projective:
         zinv = self.z.invert()
         return G2Affine(self.x * zinv, self.y * zinv)
 
+    @staticmethod
+    def batch_normalize(points: list["G2Projective"]) -> list["G2Affine"]:
+        """Montgomery-trick batch affine conversion (g2.rs batch_normalize,
+        same structure as G1)."""
+        zs = [p.z for p in points]
+        prefix, acc = [], Fp2.one()
+        for z in zs:
+            prefix.append(acc)
+            if not z.is_zero():
+                acc = acc * z
+        inv = acc.invert()
+        out = [None] * len(points)
+        for i in range(len(points) - 1, -1, -1):
+            if zs[i].is_zero():
+                out[i] = G2Affine.identity()
+            else:
+                zi = prefix[i] * inv
+                inv = inv * zs[i]
+                out[i] = G2Affine(points[i].x * zi, points[i].y * zi)
+        return out
+
     def is_on_curve(self) -> bool:
         return (self.y.square() * self.z ==
                 self.x.square() * self.x + _B * self.z.square() * self.z) or self.z.is_zero()

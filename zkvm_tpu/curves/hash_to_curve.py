@@ -48,6 +48,22 @@ def expand_message_xmd(msg: bytes, dst: bytes, len_in_bytes: int) -> bytes:
     return bytes(out[:len_in_bytes])
 
 
+def expand_message_xof(msg: bytes, dst: bytes, len_in_bytes: int,
+                       xof=None) -> bytes:
+    """RFC 9380 section 5.3.2, H = SHAKE-128 by default (the reference's
+    ExpandMsgXof, coset-bls12_381/src/hash_to_curve/expand_msg.rs:110).
+
+    Pinned by the RFC 9380 K.6 expand_message_xof test vectors
+    (tests/test_hash_to_curve.py)."""
+    h = xof or hashlib.shake_128
+    if len(dst) > 255:
+        reader = h(b"H2C-OVERSIZE-DST-" + dst)
+        dst = reader.digest(32)
+    dst_prime = dst + len(dst).to_bytes(1, "big")
+    msg_prime = msg + len_in_bytes.to_bytes(2, "big") + dst_prime
+    return h(msg_prime).digest(len_in_bytes)
+
+
 def hash_to_field(msg: bytes, dst: bytes, count: int) -> list[Fp]:
     """RFC 9380 section 5.2 (m=1, L=64)."""
     length = 64

@@ -69,6 +69,16 @@ class PoseidonTree(Tree):
         super().__init__(_ItemAggregate(data_aggregate), height, ARITY)
 
     @classmethod
+    def from_archive_bytes(cls, buf: bytes) -> "PoseidonTree":
+        """Rebuild a PoseidonTree from a whole-tree archive
+        (Tree.to_archive_bytes; node.rs:158-214 capability parity)."""
+        height = int.from_bytes(buf[8:12], "little")
+        tree = cls(height)
+        Tree.from_archive_bytes(buf, tree.item_type, Item.from_bytes,
+                                tree=tree)
+        return tree
+
+    @classmethod
     def from_leaves(cls, height: int, leaves: list[Fr]) -> "PoseidonTree":
         """Bulk-build from dense leaf hashes using the batched device kernel.
 

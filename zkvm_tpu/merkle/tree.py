@@ -145,6 +145,88 @@ class Tree(Generic[T]):
                 return self._aggregated_item(node), height
             height -= 1
 
+    # -- whole-tree archive (node.rs:158-214 ArchivedNode capability) ---------
+    _ARCHIVE_MAGIC = b"ZKTREE01"
+
+    def to_archive_bytes(self, item_to_bytes=None) -> bytes:
+        """Serialize the WHOLE tree (structure + cached aggregates +
+        occupied positions) to one self-describing blob -- the capability
+        of the reference's recursive rkyv archive for Node
+        (coset-merkle/src/node.rs:158-214).  Nodes are depth-first with a
+        1-byte Option tag per item/child slot, mirroring the archived
+        `item: Option<T>` + `children: [Option<Box<Node>>; A]` shape."""
+        to_bytes = item_to_bytes or (lambda it: it.to_bytes())
+        out = bytearray(self._ARCHIVE_MAGIC)
+        out += self.height.to_bytes(4, "little")
+        out += self.arity.to_bytes(4, "little")
+        out += len(self.positions).to_bytes(8, "little")
+        for p in sorted(self.positions):
+            out += int(p).to_bytes(8, "little")
+
+        def emit(node: _Node | None):
+            if node is None:
+                out.append(0)
+                return
+            out.append(1)
+            if node.item is None:
+                out.append(0)
+            else:
+                out.append(1)
+                item = to_bytes(node.item)
+                out.extend(len(item).to_bytes(4, "little"))
+                out.extend(item)
+            for child in node.children:
+                emit(child)
+
+        emit(self.root_node)
+        return bytes(out)
+
+    @classmethod
+    def from_archive_bytes(cls, buf: bytes, item_type, item_from_bytes,
+                           tree=None) -> "Tree":
+        """Rebuild a tree from `to_archive_bytes` output.  `tree` lets
+        subclasses pass a pre-constructed instance to fill."""
+        magic = cls._ARCHIVE_MAGIC
+        if buf[: len(magic)] != magic:
+            raise ValueError("bad tree archive magic")
+        pos = len(magic)
+        height = int.from_bytes(buf[pos: pos + 4], "little")
+        arity = int.from_bytes(buf[pos + 4: pos + 8], "little")
+        n_pos = int.from_bytes(buf[pos + 8: pos + 16], "little")
+        pos += 16
+        positions = set()
+        for _ in range(n_pos):
+            positions.add(int.from_bytes(buf[pos: pos + 8], "little"))
+            pos += 8
+        if tree is None:
+            tree = cls(item_type, height, arity)
+        elif tree.height != height or tree.arity != arity:
+            raise ValueError("tree shape mismatch")
+
+        def read_node():
+            nonlocal pos
+            tag = buf[pos]
+            pos += 1
+            if tag == 0:
+                return None
+            node = _Node(arity)
+            has_item = buf[pos]
+            pos += 1
+            if has_item:
+                ln = int.from_bytes(buf[pos: pos + 4], "little")
+                pos += 4
+                node.item = item_from_bytes(buf[pos: pos + ln])
+                pos += ln
+            node.children = [read_node() for _ in range(arity)]
+            return node
+
+        root = read_node()
+        if pos != len(buf):
+            raise ValueError("trailing bytes in tree archive")
+        tree.root_node = root if root is not None else _Node(arity)
+        tree.positions = positions
+        return tree
+
     def opening(self, position: int):
         if position not in self.positions:
             return None

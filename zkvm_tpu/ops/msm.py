@@ -229,18 +229,59 @@ class MSMContext:
             limbs.reshape(FR.n_limbs, len(scalar_sets), n_pad), 0, 1)
         return self._run(limbs, sizes, n_pad)
 
-    def msm_many_mont(self, coeff_tensors) -> list[G1Projective]:
+    def msm_many_mont(self, coeff_tensors, mesh=None,
+                      axis: str | None = None) -> list[G1Projective]:
         """MSMs from device-resident Montgomery coefficient tensors
         ([16, len_i] u32 each) -- the device-resident prover's commit path
-        (no host scalar conversion)."""
+        (no host scalar conversion).  With `mesh`, points and scalars shard
+        across the mesh and per-device window sums combine with an
+        all_gather (same partial-sum reduction as msm_sharded)."""
         sizes = [int(t.shape[-1]) for t in coeff_tensors]
-        n_pad = _granule(max(sizes))
         assert max(sizes) <= self.n
+        if mesh is None:
+            n_pad = _granule(max(sizes))
+            padded = [jnp.pad(t, [(0, 0), (0, n_pad - t.shape[-1])])
+                      for t in coeff_tensors]
+            limbs = _from_mont_batch(jnp.stack(padded))  # [S, 16, n_pad]
+            return self._run(limbs, sizes, n_pad)
+        return self._run_sharded(coeff_tensors, sizes, mesh,
+                                 axis or mesh.axis_names[0])
+
+    def _run_sharded(self, coeff_tensors, sizes, mesh,
+                     axis: str) -> list[G1Projective]:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        shard = _granule(-(-max(sizes) // n_dev))
+        n_pad = shard * n_dev
+        c = _window_bits(shard)
+        pts = _pad_points(self.points, n_pad)
+        stacked_pts = tuple(
+            jnp.stack([t[:, d * shard:(d + 1) * shard]
+                       for d in range(n_dev)]) for t in pts)
         padded = [jnp.pad(t, [(0, 0), (0, n_pad - t.shape[-1])])
                   for t in coeff_tensors]
-        mont = jnp.stack(padded)                      # [S, 16, n_pad]
-        limbs = _from_mont_batch(mont)
-        return self._run(limbs, sizes, n_pad)
+        limbs = _from_mont_batch(jnp.stack(padded))  # [S, 16, n_pad]
+        limbs = jnp.stack(
+            [limbs[:, :, d * shard:(d + 1) * shard] for d in range(n_dev)])
+
+        def local_msm(px, py, pz, lmb):
+            sums = _msm_pipeline(c, px[0], py[0], pz[0], lmb[0])
+            gathered = [jax.lax.all_gather(t, axis, axis=0) for t in sums]
+            total = tuple(t[0] for t in gathered)
+            for d in range(1, n_dev):
+                total = g1_ops.padd(total, tuple(t[d] for t in gathered))
+            return total
+
+        fn = jax.jit(shard_map(
+            local_msm, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(), P()), check_vma=False))
+        sums = fn(*stacked_pts, limbs)
+        host = [np.asarray(t) for t in jax.device_get(sums)]
+        w_count = host[0].shape[0] // len(sizes)
+        return _host_window_fold(host, c, w_count, len(sizes), sizes)
 
     def _run(self, limbs, sizes, n_pad) -> list[G1Projective]:
         c = _window_bits(n_pad)

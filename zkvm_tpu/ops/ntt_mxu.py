@@ -138,7 +138,7 @@ def _fold_kernel(limbs_ref, out_ref):
     out_ref[:] = y
 
 
-def _fold_pallas(limbs: jnp.ndarray) -> jnp.ndarray:
+def _fold_pallas(limbs: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """[34, M, B] -> [16, M, B] via the fused kernel (TPU hot path)."""
     from jax.experimental import pallas as pl
 
@@ -154,8 +154,14 @@ def _fold_pallas(limbs: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((FR.n_limbs, m, block), lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((FR.n_limbs, m, limbs.shape[-1]),
                                        jnp.uint32),
+        interpret=interpret,
     )(limbs)
     return out[..., :b]
+
+
+def _fold_pallas_interpret(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Interpret-mode entry for CPU tests (tests/test_pallas_kernels.py)."""
+    return _fold_pallas(limbs, interpret=True)
 
 
 def _dft_leaf(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:

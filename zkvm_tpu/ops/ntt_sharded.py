@@ -89,7 +89,40 @@ class DistributedDomain:
         self.n2_loc = self.n2 // self.n_dev
         self.n1_loc = self.n1 // self.n_dev
 
-    def _build(self, inverse: bool):
+    @functools.lru_cache(maxsize=None)
+    def _coset_tables(self, inverse: bool):
+        """Per-device coset scaling tables (GENERATOR=7 power distribution,
+        fft/domain.rs:168-196 semantics), laid out to match the sharded
+        tensor at the point where the scale is applied:
+
+          forward: input x[a, b] sharded over b -> [D, L, n1, n2loc] of g^i,
+                   i = N2*a + b.
+          inverse: output z[c, d] sharded over c -> [D, L, n1loc, n2] of
+                   g^-k * N^-1, k = N1*d + c.
+        """
+        g = params.FR_GENERATOR
+        if not inverse:
+            tabs = []
+            for dev in range(self.n_dev):
+                vals = [pow(g, self.n2 * a + (dev * self.n2_loc + off), _Q)
+                        for a in range(self.n1)
+                        for off in range(self.n2_loc)]
+                arr = np.asarray(jax.device_get(FR.to_mont_array(vals)))
+                tabs.append(arr.reshape(FR.n_limbs, self.n1, self.n2_loc))
+            return jnp.asarray(np.stack(tabs))
+        g_inv = pow(g, -1, _Q)
+        n_inv = pow(self.size, -1, _Q)
+        tabs = []
+        for dev in range(self.n_dev):
+            vals = [pow(g_inv, self.n1 * d + (dev * self.n1_loc + c), _Q)
+                    * n_inv % _Q
+                    for c in range(self.n1_loc)
+                    for d in range(self.n2)]
+            arr = np.asarray(jax.device_get(FR.to_mont_array(vals)))
+            tabs.append(arr.reshape(FR.n_limbs, self.n1_loc, self.n2))
+        return jnp.asarray(np.stack(tabs))
+
+    def _build(self, inverse: bool, coset: bool):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -101,41 +134,67 @@ class DistributedDomain:
             _glue_twiddles(self.size, n1, n2_loc, d, self.n_dev, inverse)
             for d in range(self.n_dev)]))  # [D, L, n1, n2loc]
 
-        def step(x_loc, tw_loc):
+        def mul_tbl(t, tbl):
+            l = t.shape[0]
+            return lf.mont_mul(FR, t.reshape(l, -1),
+                               tbl.reshape(l, -1)).reshape(t.shape)
+
+        def step(x_loc, tw_loc, pre_loc, post_loc):
             # x_loc: [L, n1, n2loc] (this device's b-slice)
+            if coset and not inverse:
+                x_loc = mul_tbl(x_loc, pre_loc[0])
             y = fft1(x_loc)                         # FFT over a -> index c
-            l = y.shape[0]
-            tw = tw_loc[0]                          # [L, n1, n2loc]
-            y = lf.mont_mul(FR, y.reshape(l, -1),
-                            tw.reshape(l, -1)).reshape(y.shape)
+            y = mul_tbl(y, tw_loc[0])
             # reshard: split the c axis, gather the full b axis
             y = jax.lax.all_to_all(y, axis, split_axis=1, concat_axis=2,
                                    tiled=True)      # [L, n1loc, n2]
             y = jnp.swapaxes(y, 1, 2)               # [L, n2(b), n1loc]
             z = fft2(y)                             # FFT over b -> index d
             z = jnp.swapaxes(z, 1, 2)               # [L, n1loc(c), n2(d)]
+            if inverse:
+                z = mul_tbl(z, post_loc[0])
             return z
 
         fn = shard_map(step, mesh=self.mesh,
-                       in_specs=(P(None, None, axis), P(axis)),
+                       in_specs=(P(None, None, axis), P(axis), P(axis),
+                                 P(axis)),
                        out_specs=P(None, axis, None),
                        check_vma=False)
         return jax.jit(fn), glue
 
-    def _run(self, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    def _run(self, x: jnp.ndarray, inverse: bool,
+             coset: bool = False) -> jnp.ndarray:
         """x: [L, N] coefficients -> [L, N] evaluations (natural order)."""
         l = FR.n_limbs
-        fn, glue = self._build(inverse)
-        xm = x.reshape(l, self.n1, self.n2)  # x[a, b] with n = N2*a + b
-        z = fn(xm, glue)                     # [L, N1(c), N2(d)]
-        out = jnp.swapaxes(z, 1, 2).reshape(l, self.size)  # k = N1*d + c
+        fn, glue = self._build(inverse, coset)
+        if coset and not inverse:
+            pre = self._coset_tables(False)
+        else:
+            pre = jnp.zeros((self.n_dev, l, self.n1, self.n2_loc), jnp.uint32)
         if inverse:
-            out = lf.mont_mul_const(FR, out,
-                                    FR.const_mont(pow(self.size, -1, _Q)))
-        return out
+            # n^-1 (plain ifft) or g^-k * n^-1 (coset ifft), applied sharded
+            post = (self._coset_tables(True) if coset else
+                    jnp.broadcast_to(
+                        jnp.asarray(FR.const_mont(pow(self.size, -1, _Q)))
+                        [None, :, :, None],
+                        (self.n_dev, l, self.n1_loc, self.n2)))
+        else:
+            post = jnp.zeros((self.n_dev, l, self.n1_loc, self.n2),
+                             jnp.uint32)
+        xm = x.reshape(l, self.n1, self.n2)  # x[a, b] with n = N2*a + b
+        z = fn(xm, glue, pre, post)          # [L, N1(c), N2(d)]
+        return jnp.swapaxes(z, 1, 2).reshape(l, self.size)  # k = N1*d + c
 
     def fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         return self._run(coeffs, inverse=False)
 
     def ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
         return self._run(evals, inverse=True)
+
+    def coset_fft_device(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """Evaluate over the coset g*H, sharded (domain.rs:168 semantics)."""
+        return self._run(coeffs, inverse=False, coset=True)
+
+    def coset_ifft_device(self, evals: jnp.ndarray) -> jnp.ndarray:
+        """Interpolate from coset evaluations, sharded."""
+        return self._run(evals, inverse=True, coset=True)

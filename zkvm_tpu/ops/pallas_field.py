@@ -289,7 +289,7 @@ def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r):
     x3r[0], y3r[0], z3r[0] = x3, y3, z3
 
 
-def padd_pallas(p, q, block: int = 2048, interpret: bool = False):
+def padd_pallas(p, q, block: int = 1024, interpret: bool = False):
     """Complete G1 addition on limb-major point batches (any batch shape)."""
     shape = p[0].shape
     lead = shape[:-2]

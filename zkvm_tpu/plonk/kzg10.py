@@ -33,11 +33,11 @@ def powers_of(x: Fr, degree: int) -> list[Fr]:
 _msm_contexts: dict[int, object] = {}
 
 
-def _device_ctx(commit_key: "CommitKey"):
+def _device_ctx(commit_key: "CommitKey", force: bool = False):
     from ..ops import msm as device_msm
 
     points = commit_key.powers_of_g
-    if len(points) < device_msm._device_threshold():
+    if not force and len(points) < device_msm._device_threshold():
         return None
     # one device context (and one kernel specialization) per commit key
     ctx = _msm_contexts.get(id(commit_key))
@@ -168,20 +168,24 @@ class CommitKey:
         return [Commitment(r)
                 for r in ctx.msm_many([p.coeffs for p in polynomials])]
 
-    def commit_many_mont(self, tensors) -> list[Commitment]:
+    def commit_many_mont(self, tensors, mesh=None,
+                         axis: str | None = None) -> list[Commitment]:
         """Commit device-resident [16, len] Montgomery coefficient tensors
         in one MSM launch (the device-resident prover's commit path); falls
         back through host Polynomials when the key is below the device
-        threshold (CPU tests)."""
+        threshold (CPU tests).  With `mesh`, the MSM shards points and
+        scalars across the mesh (multi-chip prove)."""
         for t in tensors:
             if t.shape[-1] - 1 > self.max_degree():
                 raise KZGError("polynomial degree too large")
-        ctx = _device_ctx(self)
+        ctx = _device_ctx(self, force=mesh is not None)
         if ctx is None:
             from .dpoly import from_device
 
             return [self.commit(Polynomial(from_device(t))) for t in tensors]
-        return [Commitment(r) for r in ctx.msm_many_mont(list(tensors))]
+        return [Commitment(r)
+                for r in ctx.msm_many_mont(list(tensors), mesh=mesh,
+                                           axis=axis)]
 
     @staticmethod
     def compute_aggregate_witness(polynomials: list[Polynomial], point: Fr,

@@ -108,7 +108,8 @@ class Permutation:
     @staticmethod
     def compute_permutation_tensor(domain: Domain, wire_tensors,
                                    sigma_eval_tensors, roots_tensor,
-                                   beta: Fr, gamma: Fr):
+                                   beta: Fr, gamma: Fr, mesh=None,
+                                   axis: str | None = None):
         """Fully device-resident grand product: [16, n] Montgomery wire
         evaluation tensors in, [16, n] z tensor out (permutation.rs:181-245).
 
@@ -140,8 +141,14 @@ class Permutation:
             den = den_t if den is None else lf.mont_mul(FR, den, den_t)
 
         mul = lambda a, b: lf.mont_mul(FR, a, b)
-        pnum = jax.lax.associative_scan(mul, num, axis=1)
-        sden = jax.lax.associative_scan(mul, den, axis=1, reverse=True)
+        if mesh is not None:
+            from ..ops.collective import sharded_scan_mul
+
+            pnum = sharded_scan_mul(num, mesh, axis)
+            sden = sharded_scan_mul(den, mesh, axis, reverse=True)
+        else:
+            pnum = jax.lax.associative_scan(mul, num, axis=1)
+            sden = jax.lax.associative_scan(mul, den, axis=1, reverse=True)
         total = FR.from_mont_array(sden[:, :1])[0]
         inv_total = jnp.asarray(FR.const_mont(pow(total, -1, _Q)))
         one_col = jnp.asarray(FR.const_mont(1))

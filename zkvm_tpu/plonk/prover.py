@@ -147,7 +147,13 @@ class Prover:
                    constraints)
 
     # -- proving (prover.rs:210-509) ----------------------------------------------
-    def prove(self, rng, circuit) -> tuple[Proof, list[Fr]]:
+    def prove(self, rng, circuit, mesh=None,
+              shard_axis: str | None = None) -> tuple[Proof, list[Fr]]:
+        """With `mesh`, the heavy device programs (wire/z/PI iFFTs, grand
+        product scans, the 8n coset quotient and every KZG commit MSM) run
+        sharded over the mesh via shard_map collectives; the proof bytes
+        are identical to the single-device path (asserted by
+        __graft_entry__.dryrun_multichip)."""
         composer = Composer.prove(self.constraints, circuit)
         size = self.size
         n = size
@@ -155,6 +161,13 @@ class Prover:
         transcript = self.transcript.clone()
         pk = self.prover_key
         dc = _pk_device(pk, domain)
+        axis = shard_axis or (mesh.axis_names[0] if mesh is not None
+                              else None)
+        ddom = None
+        if mesh is not None:
+            from ..ops.ntt_sharded import DistributedDomain
+
+            ddom = DistributedDomain(n, mesh, axis)
 
         public_inputs = composer.public_input_values()
         public_input_indexes = composer.public_input_indexes()
@@ -175,17 +188,22 @@ class Prover:
 
         # ROUND 1: batched iFFT of the 4 wire vectors + blind + commit
         with metrics.GLOBAL.span("prove/round1_wires"):
-            inv_t = MXUTransform(n, domain.group_gen_inv)
-            coeffs4 = inv_t(wires_flat.reshape(FR.n_limbs, 4, n))
-            coeffs4 = lf.mont_mul_const(
-                FR, coeffs4.reshape(FR.n_limbs, 4 * n),
-                FR.const_mont(domain.size_inv))
+            if ddom is not None:
+                wire_coeffs = [ddom.ifft_device(w) for w in wires_ev]
+            else:
+                inv_t = MXUTransform(n, domain.group_gen_inv)
+                coeffs4 = inv_t(wires_flat.reshape(FR.n_limbs, 4, n))
+                coeffs4 = lf.mont_mul_const(
+                    FR, coeffs4.reshape(FR.n_limbs, 4 * n),
+                    FR.const_mont(domain.size_inv))
+                wire_coeffs = [coeffs4[:, k * n:(k + 1) * n]
+                               for k in range(4)]
             wire_polys = [
-                dpoly.apply_blinders_device(
-                    rng, coeffs4[:, k * n:(k + 1) * n], 1)
-                for k in range(4)]                           # [16, n+2] x4
+                dpoly.apply_blinders_device(rng, wc, 1)
+                for wc in wire_coeffs]                       # [16, n+2] x4
             a_comm, b_comm, c_comm, d_comm = \
-                self.commit_key.commit_many_mont(wire_polys)
+                self.commit_key.commit_many_mont(wire_polys, mesh=mesh,
+                                                 axis=axis)
             transcript.append_commitment(b"a_comm", a_comm)
             transcript.append_commitment(b"b_comm", b_comm)
             transcript.append_commitment(b"c_comm", c_comm)
@@ -200,10 +218,12 @@ class Prover:
 
             z_ev = Permutation.compute_permutation_tensor(
                 domain, wires_ev, dc["sigma_evals"], dc["roots"],
-                beta, gamma)
-            z_coeffs = domain.ifft_device(z_ev)
+                beta, gamma, mesh=mesh, axis=axis)
+            z_coeffs = (ddom.ifft_device(z_ev) if ddom is not None
+                        else domain.ifft_device(z_ev))
             z_poly = dpoly.apply_blinders_device(rng, z_coeffs, 2)  # [16,n+3]
-            z_comm = self.commit_key.commit_many_mont([z_poly])[0]
+            z_comm = self.commit_key.commit_many_mont(
+                [z_poly], mesh=mesh, axis=axis)[0]
             transcript.append_commitment(b"z_comm", z_comm)
             alpha = transcript.challenge_scalar(b"alpha")
             range_sep = transcript.challenge_scalar(
@@ -217,12 +237,13 @@ class Prover:
 
         # ROUND 3: quotient over the 8n coset + split + cross-blind + commit
         with metrics.GLOBAL.span("prove/round3_quotient"):
-            pi_dev = domain.ifft_device(
-                dpoly.to_device(dense_public_inputs, n))
+            pi_dense_dev = dpoly.to_device(dense_public_inputs, n)
+            pi_dev = (ddom.ifft_device(pi_dense_dev) if ddom is not None
+                      else domain.ifft_device(pi_dense_dev))
             t_coeffs = build_quotient_device(
                 domain, pk, z_poly, wire_polys, pi_dev,
                 (alpha, beta, gamma, range_sep, logic_sep, fixed_sep,
-                 var_sep))                                   # [16, 8n]
+                 var_sep), mesh=mesh, axis=axis)             # [16, 8n]
             # t has degree ~4n+6 (permutation identity: z * four linear-ish
             # wire factors); the fourth chunk keeps the high tail
             b_12, b_13, b_14 = (Fr.random(rng), Fr.random(rng),
@@ -246,7 +267,8 @@ class Prover:
             t_fourth = cross(chunk[3], bc[2], None)
             t_polys = [t_low, t_mid, t_high, t_fourth]
             (t_low_comm, t_mid_comm, t_high_comm,
-             t_fourth_comm) = self.commit_key.commit_many_mont(t_polys)
+             t_fourth_comm) = self.commit_key.commit_many_mont(
+                t_polys, mesh=mesh, axis=axis)
             transcript.append_commitment(b"t_low_comm", t_low_comm)
             transcript.append_commitment(b"t_mid_comm", t_mid_comm)
             transcript.append_commitment(b"t_high_comm", t_high_comm)
@@ -385,7 +407,8 @@ class Prover:
             w_zw = dpoly.ruffini_device(shifted_agg, shifted)
 
             w_z_chall_comm, w_z_chall_w_comm = \
-                self.commit_key.commit_many_mont([w_z, w_zw])
+                self.commit_key.commit_many_mont([w_z, w_zw], mesh=mesh,
+                                                 axis=axis)
 
         proof = Proof(a_comm, b_comm, c_comm, d_comm, z_comm, t_low_comm,
                       t_mid_comm, t_high_comm, t_fourth_comm, w_z_chall_comm,

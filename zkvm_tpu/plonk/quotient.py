@@ -57,9 +57,15 @@ def _to_device_coeffs(poly: Polynomial, size: int) -> jnp.ndarray:
 
 
 def build_quotient_device(domain: Domain, prover_key: ProverKey,
-                          z_dev, wires_dev, pi_dev, challenges):
+                          z_dev, wires_dev, pi_dev, challenges,
+                          mesh=None, axis: str | None = None):
     """Device-resident quotient: [16, len] Montgomery coefficient tensors in,
-    [16, 8n] quotient coefficients out -- no host conversion anywhere."""
+    [16, 8n] quotient coefficients out -- no host conversion anywhere.
+
+    With `mesh`, the 8n coset transforms run as distributed 4-step NTTs
+    (all_to_all over the mesh) and the pointwise numerator+divide shard over
+    the evaluation axis -- the multi-chip replacement for the rayon hot loop
+    at quotient_poly.rs:86-95."""
     (alpha, beta, gamma, range_ch, logic_ch, fixed_ch, var_ch) = challenges
     n = domain.size
     domain_8n = Domain(8 * n)
@@ -69,18 +75,27 @@ def build_quotient_device(domain: Domain, prover_key: ProverKey,
     from ..ops import limb_field as lf
     from ..ops.ntt_mxu import MXUTransform
 
-    # ONE batched coset FFT for all six polynomials (a, b, c, d, z, PI)
     polys = tuple(wires_dev) + (z_dev, pi_dev)
-    stacked = jnp.stack(
-        [jnp.pad(p, [(0, 0), (0, size_8n - p.shape[-1])]) for p in polys],
-        axis=1)  # [L, 6, 8n]
-    coset = domain_8n._factor("coset")  # [L, 8n]
-    shifted = lf.mont_mul(
-        FR, stacked.reshape(FR.n_limbs, -1),
-        jnp.tile(coset, (1, 6))).reshape(FR.n_limbs, 6, size_8n)
-    fwd = MXUTransform(size_8n, domain_8n.group_gen)
-    evals = fwd(shifted)  # [L, 6, 8n]
-    a8, b8, c8, d8, z8, pi8 = (evals[:, i, :] for i in range(6))
+    if mesh is not None:
+        from ..ops.ntt_sharded import DistributedDomain
+
+        dd8 = DistributedDomain(size_8n, mesh, axis)
+        padded = [jnp.pad(p, [(0, 0), (0, size_8n - p.shape[-1])])
+                  for p in polys]
+        evals6 = [dd8.coset_fft_device(p) for p in padded]
+        a8, b8, c8, d8, z8, pi8 = evals6
+    else:
+        # ONE batched coset FFT for all six polynomials (a, b, c, d, z, PI)
+        stacked = jnp.stack(
+            [jnp.pad(p, [(0, 0), (0, size_8n - p.shape[-1])])
+             for p in polys], axis=1)  # [L, 6, 8n]
+        coset = domain_8n._factor("coset")  # [L, 8n]
+        shifted = lf.mont_mul(
+            FR, stacked.reshape(FR.n_limbs, -1),
+            jnp.tile(coset, (1, 6))).reshape(FR.n_limbs, 6, size_8n)
+        fwd = MXUTransform(size_8n, domain_8n.group_gen)
+        evals = fwd(shifted)  # [L, 6, 8n]
+        a8, b8, c8, d8, z8, pi8 = (evals[:, i, :] for i in range(6))
     # shifted (X*omega) accesses: +8 with wrap-around == roll by -8
     # (quotient_poly.rs:46-59)
     a8w = jnp.roll(a8, -8, axis=-1)
@@ -104,6 +119,30 @@ def build_quotient_device(domain: Domain, prover_key: ProverKey,
         "fixed_sep": jnp.asarray(FR.const_mont(fixed_ch.value)),
         "var_sep": jnp.asarray(FR.const_mont(var_ch.value)),
     }
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def pointwise(sel_t, wires_t, z_t, zw_t, pi_t, l1_t, lin_t, vh_t,
+                      chal_t):
+            sel_d = dict(zip(sorted(sel), sel_t))
+            chal_d = dict(zip(sorted(chals), chal_t))
+            num = qk.quotient_numerator.__wrapped__(
+                sel_d, wires_t, z_t, zw_t, pi_t, l1_t, lin_t, chal_d)
+            return qk.pointwise_divide.__wrapped__(num, vh_t)
+
+        spec = P(None, axis)
+        fn = shard_map(
+            pointwise, mesh=mesh,
+            in_specs=(tuple([spec] * len(sel)), tuple([spec] * 7), spec,
+                      spec, spec, spec, spec, spec,
+                      tuple([P(None, None)] * len(chals))),
+            out_specs=spec, check_vma=False)
+        quotient = fn(tuple(sel[k] for k in sorted(sel)),
+                      (a8, b8, c8, d8, a8w, b8w, d8w), z8, z8w, pi8, l1_8n,
+                      linear, v_h_inv,
+                      tuple(chals[k] for k in sorted(chals)))
+        return dd8.coset_ifft_device(quotient)
     numerator = qk.quotient_numerator(
         sel, (a8, b8, c8, d8, a8w, b8w, d8w), z8, z8w, pi8, l1_8n, linear,
         chals)
