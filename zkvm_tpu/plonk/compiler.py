@@ -63,28 +63,48 @@ class Compiler:
             for name in names:
                 columns[name][i] = getattr(gate, name)
 
-        polys = {name: Polynomial(domain.ifft(col))
-                 for name, col in columns.items()}
-        sigma_polys = composer.perm.compute_sigma_polynomials(size, domain)
-        for name, p in zip(("s_sigma_1", "s_sigma_2", "s_sigma_3",
-                            "s_sigma_4"), sigma_polys):
-            polys[name] = p
+        # ONE batched device iFFT for all 15 columns (11 selectors + 4
+        # sigma mappings) -- compiler.rs:93-149 runs 15 serial iFFTs
+        import jax.numpy as jnp
 
-        def commit(poly: Polynomial) -> Commitment:
-            from .kzg10 import KZGError
+        from ..ops import limb_field as lf
+        from ..ops.limb_field import FR
+        from ..ops.ntt_mxu import MXUTransform
 
-            try:
-                return commit_key.commit(poly)
-            except KZGError:
-                return Commitment.identity()  # commit().unwrap_or_default()
+        sigma_names = ("s_sigma_1", "s_sigma_2", "s_sigma_3", "s_sigma_4")
+        sigmas = composer.perm.compute_sigma_permutations(size)
+        roots = domain._powers(domain.group_gen)
+        sigma_cols = [composer.perm._lagrange_mapping(s, roots)
+                      for s in sigmas]
+        all_names = list(names) + list(sigma_names)
+        all_cols = [columns[nm] for nm in names] + sigma_cols
+        flat = []
+        for col in all_cols:
+            flat.extend(v.value for v in col)
+        stacked = FR.to_mont_array(flat).reshape(FR.n_limbs, len(all_cols),
+                                                 size)
+        inv_t = MXUTransform(size, domain.group_gen_inv)
+        coeffs = lf.mont_mul_const(
+            FR, inv_t(stacked).reshape(FR.n_limbs, -1),
+            FR.const_mont(domain.size_inv))
+        host_coeffs = FR.from_mont_array(coeffs)
+        polys = {}
+        for i, nm in enumerate(all_names):
+            polys[nm] = Polynomial(
+                [Fr(v) for v in host_coeffs[i * size:(i + 1) * size]])
 
-        # selector commits fall back to identity on degree errors
-        # (unwrap_or_default, compiler.rs:152-166); sigma commits propagate
-        # (compiler.rs:168-171)
-        comms = {name: (commit_key.commit(polys[name])
-                        if name.startswith("s_sigma")
-                        else commit(polys[name]))
-                 for name in polys}
+        # ONE stacked-window MSM for all 15 commits (compiler.rs:152-171);
+        # all-zero selectors (degree 0) fall back to the identity
+        # commitment (commit().unwrap_or_default()), sigma errors propagate
+        from .kzg10 import KZGError
+
+        live = [nm for nm in all_names if polys[nm].degree() > 0]
+        for nm in sigma_names:
+            if polys[nm].degree() == 0:
+                raise KZGError("sigma polynomial degree is zero")
+        live_comms = commit_key.commit_many([polys[nm] for nm in live])
+        comms = {nm: Commitment.identity() for nm in all_names}
+        comms.update(dict(zip(live, live_comms)))
 
         verifier_key = widgets.VerifierKey.from_polynomial_commitments(
             constraints,
@@ -95,12 +115,31 @@ class Compiler:
             comms["s_sigma_1"], comms["s_sigma_2"], comms["s_sigma_3"],
             comms["s_sigma_4"])
 
+        # ONE batched coset FFT onto the 8n domain for all 16 extended
+        # evaluation tables (compiler.rs:239-306 runs 16 serial ones)
         domain_8n = Domain(8 * size)
-        evals_8n = {name: Evaluations(domain_8n.coset_fft(polys[name].coeffs),
-                                      domain_8n)
-                    for name in polys}
+        size_8n = domain_8n.size
+        flat = []
+        for nm in all_names:
+            cs = [c.value for c in polys[nm].coeffs]
+            flat.extend(cs + [0] * (size_8n - len(cs)))
+        flat.extend([0, 1] + [0] * (size_8n - 2))  # the linear polynomial X
+        big = FR.to_mont_array(flat).reshape(FR.n_limbs, len(all_names) + 1,
+                                             size_8n)
+        coset = domain_8n._factor("coset")
+        shifted = lf.mont_mul(
+            FR, big.reshape(FR.n_limbs, -1),
+            jnp.tile(coset, (1, len(all_names) + 1)))
+        fwd8 = MXUTransform(size_8n, domain_8n.group_gen)
+        ev = fwd8(shifted.reshape(FR.n_limbs, len(all_names) + 1, size_8n))
+        host_ev = FR.from_mont_array(ev.reshape(FR.n_limbs, -1))
+        evals_8n = {}
+        for i, nm in enumerate(all_names):
+            evals_8n[nm] = Evaluations(
+                [Fr(v) for v in host_ev[i * size_8n:(i + 1) * size_8n]],
+                domain_8n)
         linear_eval_8n = Evaluations(
-            domain_8n.coset_fft([Fr.zero(), Fr.one()]), domain_8n)
+            [Fr(v) for v in host_ev[len(all_names) * size_8n:]], domain_8n)
         v_h_coset_8n = Evaluations(
             domain.compute_vanishing_poly_over_coset(domain_8n.size),
             domain_8n)

@@ -64,6 +64,32 @@ class OpeningCircuit(Circuit):
             .public(self.opening.root.hash))
 
 
+class MultiOpeningCircuit(Circuit):
+    """K independent Merkle-membership checks in ONE circuit -- the
+    BASELINE flagship shape (a 2^16-gate domain at K ~ 21, height 3).
+    Each opening contributes its own public root input, so one proof
+    attests K memberships (the batched-service analogue of proving
+    merkle-plonk's OpeningCircuit K times)."""
+
+    def __init__(self, openings_and_leaves):
+        self.parts = list(openings_and_leaves)
+
+    @classmethod
+    def default_for(cls, height: int, count: int) -> "MultiOpeningCircuit":
+        empty = Item(Fr.zero(), None)
+        tree = PoseidonTree(height)
+        tree.insert(0, empty)
+        return cls([(tree.opening(0), empty)] * count)
+
+    def circuit(self, composer: Composer) -> None:
+        for opening, leaf in self.parts:
+            leaf_w = composer.append_witness(leaf.hash)
+            computed_root = opening_gadget(composer, opening, leaf_w)
+            composer.append_gate(
+                Constraint().left(-Fr.one()).a(computed_root)
+                .public(opening.root.hash))
+
+
 def load_or_compile_opening_circuit(
         config: BatchProofConfig) -> tuple[Prover, Verifier]:
     """Disk circuit cache keyed by SRS capacity
