@@ -139,24 +139,32 @@ def _fold_kernel(limbs_ref, out_ref):
 
 
 def _fold_pallas(limbs: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """[34, M, B] -> [16, M, B] via the fused kernel (TPU hot path)."""
+    """[34, M, B] -> [16, M, B] via the fused kernel (TPU hot path).
+
+    The reduction is elementwise over (M, B), so the tensor is flattened to
+    2D and tiled at a fixed 2048-lane block: every fold in every transform
+    shares ONE kernel shape (one Mosaic compile) and the in-kernel CIOS
+    temporaries stay well under the VMEM stack limit (3D m-major blocks
+    were observed to OOM Mosaic's scoped allocation on v5e)."""
     from jax.experimental import pallas as pl
 
     _, m, b = limbs.shape
-    block = min(512, max(128, -(-b // 128) * 128))
-    if b % block:
-        limbs = jnp.pad(limbs, [(0, 0), (0, 0), (0, block - b % block)])
-    nb = limbs.shape[-1] // block
+    flat = limbs.reshape(_NB // 2, m * b)
+    total = flat.shape[-1]
+    block = min(2048, max(128, -(-total // 128) * 128))
+    if total % block:
+        flat = jnp.pad(flat, [(0, 0), (0, block - total % block)])
+    nb = flat.shape[-1] // block
     out = pl.pallas_call(
         _fold_kernel,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((_NB // 2, m, block), lambda i: (0, 0, i))],
-        out_specs=pl.BlockSpec((FR.n_limbs, m, block), lambda i: (0, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((FR.n_limbs, m, limbs.shape[-1]),
+        in_specs=[pl.BlockSpec((_NB // 2, block), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((FR.n_limbs, block), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((FR.n_limbs, flat.shape[-1]),
                                        jnp.uint32),
         interpret=interpret,
-    )(limbs)
-    return out[..., :b]
+    )(flat)
+    return out[:, :m * b].reshape(FR.n_limbs, m, b)
 
 
 def _fold_pallas_interpret(limbs: jnp.ndarray) -> jnp.ndarray:
