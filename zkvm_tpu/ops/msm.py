@@ -128,9 +128,19 @@ def _msm_pipeline(c: int, px, py, pz, limbs):
 
     bucket = jnp.where(d == 0, half + 1, jnp.abs(d)).reshape(b, n)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
-    sb, perm, dsort = jax.lax.sort(
-        (bucket.astype(jnp.int32), iota, d.reshape(b, n)),
-        dimension=-1, num_keys=1)
+    if n <= (1 << 17) and half + 1 <= (1 << 13):
+        # pack (bucket, index) into one i32 key: a single-operand sort
+        # moves 3x less data through the sort network, and unpacking
+        # preserves exactly the stable order the 3-operand sort gives
+        packed = jax.lax.sort((bucket.astype(jnp.int32) << 17) | iota,
+                              dimension=-1)
+        sb = packed >> 17
+        perm = packed & ((1 << 17) - 1)
+        dsort = jnp.take_along_axis(d.reshape(b, n), perm, axis=1)
+    else:
+        sb, perm, dsort = jax.lax.sort(
+            (bucket.astype(jnp.int32), iota, d.reshape(b, n)),
+            dimension=-1, num_keys=1)
     neg = dsort < 0
 
     x = jnp.moveaxis(jnp.take(px, perm, axis=1), 0, 1)  # [B, 24, N]
