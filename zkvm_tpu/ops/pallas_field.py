@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .. import params
 from . import limb_field as lf
@@ -104,13 +105,15 @@ def _carry_norm(acc, n_out):
     return jnp.stack(outs, axis=0)
 
 
-def _normalize_sub_p(spec, acc):
+def _normalize_sub_p(spec, acc, p_col=None):
     """Normalize an [L+1, B] accumulator (< 2p) to [L, B] canonical limbs."""
     l = spec.n_limbs
     s = _carry_norm(acc, l + 1)
     carry_set = s[l] > 0
     body = s[:l]
-    diff, under = _sub_limbs(body, [int(x) for x in spec.p_limbs])
+    p_limbs = ([int(x) for x in spec.p_limbs] if p_col is None else
+               p_col.astype(jnp.int32))
+    diff, under = _sub_limbs(body, p_limbs)
     need = carry_set | ~under
     return jnp.where(need[None, :], diff, body)
 
@@ -137,12 +140,15 @@ def _add_k(spec, a, b):
         [a + b, jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)], axis=0))
 
 
-def _sub_k(spec, a, b):
+def _sub_k(spec, a, b, p_col=None):
     """(a - b) mod p over [L, B]."""
     diff, under = _sub_limbs(a, b)
-    p_rows = jnp.concatenate(
-        [jnp.where(under[None, :], jnp.uint32(int(pk)), jnp.uint32(0))
-         for pk in spec.p_limbs], axis=0)
+    if p_col is None:
+        p_rows = jnp.concatenate(
+            [jnp.where(under[None, :], jnp.uint32(int(pk)), jnp.uint32(0))
+             for pk in spec.p_limbs], axis=0)
+    else:
+        p_rows = jnp.where(under[None, :], p_col, jnp.uint32(0))
     readd = _carry_norm(diff + p_rows, spec.n_limbs)
     return jnp.where(under[None, :], readd, diff)
 
@@ -257,6 +263,46 @@ def hades_permute_pallas(state: jnp.ndarray,
     return out[..., :b]
 
 
+def _mont_mul_scr(spec, a, b, scr, p_col):
+    """CIOS Montgomery product with a VMEM scratch ref for b's limbs.
+
+    The fully-unrolled `_mont_mul_k` emits ~24x the code (Mosaic compiles
+    of the MSM pipeline took minutes per shape) and holds ~90 live
+    temporaries (capping padd blocks at 1024 lanes before VMEM stack OOM).
+    Staging b into a scratch ref allows a fori_loop with dynamic limb reads
+    (pl.ds on refs is supported; on values it is not).  `p_col` is the
+    modulus as an [L, 1] value (kernels cannot capture array constants, so
+    it arrives as a kernel input): m*p is then ONE broadcast multiply
+    instead of L scalar row-products -- the dominant op count of the
+    unrolled form."""
+    import jax
+
+    l = spec.n_limbs
+    np0 = int(spec.nprime & LIMB_MASK)
+    scr[:] = b
+    zeros1 = jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)
+    cat = functools.partial(jnp.concatenate, axis=0)
+
+    def body(j, acc):
+        bj = scr[pl.ds(j, 1), :]
+        pa = a * bj
+        # m needs only the updated low column, so a*b and m*p low/high
+        # pieces combine BEFORE touching the accumulator: 3 [L+1, B]
+        # materializations per iteration instead of 6 (the accumulator
+        # rebuilds are the kernel's VMEM-traffic bound, not the multiplies)
+        m = (((acc[0:1] + pa[0:1]) & LIMB_MASK) * np0) & LIMB_MASK
+        mp = m * p_col
+        lo = (pa & LIMB_MASK) + (mp & LIMB_MASK)          # < 2^17
+        hi = (pa >> LIMB_BITS) + (mp >> LIMB_BITS)
+        acc = (acc + cat([lo, zeros1]) + cat([zeros1, hi]))
+        carry = acc[0:1] >> LIMB_BITS
+        return cat([acc[1:2] + carry, acc[2:], zeros1])
+
+    acc0 = jnp.zeros((l + 1,) + a.shape[1:], dtype=jnp.uint32)
+    acc = jax.lax.fori_loop(0, l, body, acc0)
+    return _normalize_sub_p(spec, acc, p_col)
+
+
 # -----------------------------------------------------------------------------
 # G1 complete-addition kernel (RCB15 algorithm 7, a=0)
 # -----------------------------------------------------------------------------
@@ -265,10 +311,11 @@ _B3_LIMBS = tuple(int(x) for x in lf.int_to_limbs(
     3 * params.G1_B * FQ.R % FQ.modulus, FQ.n_limbs))
 
 
-def _padd_kernel(x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r):
-    mul = lambda a, b: _mont_mul_k(FQ, a, b)
+def _padd_kernel(p_r, x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r, scr):
+    p_col = p_r[:]  # [L, 1] modulus column (broadcasts against [L, B])
+    mul = lambda a, b: _mont_mul_scr(FQ, a, b, scr, p_col)
     add = lambda a, b: _add_k(FQ, a, b)
-    sub = lambda a, b: _sub_k(FQ, a, b)
+    sub = lambda a, b: _sub_k(FQ, a, b, p_col)
     mul_b3 = lambda t: _mont_mul_const_k(FQ, t, _B3_LIMBS)
     x1, y1, z1 = x1r[0], y1r[0], z1r[0]
     x2, y2, z2 = x2r[0], y2r[0], z2r[0]
@@ -305,14 +352,17 @@ def padd_pallas(p, q, block: int = 1024, interpret: bool = False):
     bb = flat[0].shape[-1]
     nb = bb // block
     spec = pl.BlockSpec((1, FQ.n_limbs, block), lambda i, j: (i, 0, j))
+    p_arr = jnp.asarray(np.asarray(FQ.p_limbs, dtype=np.uint32))[:, None]
+    p_spec = pl.BlockSpec((FQ.n_limbs, 1), lambda i, j: (0, 0))
     out = pl.pallas_call(
         _padd_kernel,
         grid=(w, nb),
-        in_specs=[spec] * 6,
+        in_specs=[p_spec] + [spec] * 6,
         out_specs=[spec] * 3,
         out_shape=[jax.ShapeDtypeStruct(flat[0].shape, jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((FQ.n_limbs, block), jnp.uint32)],
         interpret=interpret,
-    )(*flat)
+    )(p_arr, *flat)
     return tuple(t[..., :b].reshape(shape) for t in out)
 
 
