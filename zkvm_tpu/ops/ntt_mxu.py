@@ -180,15 +180,28 @@ def _dft_leaf(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 
     # bytes: [P, *lead, m] with plane p = 2*i + hi/lo of limb i
     b8 = jnp.stack([x & 0xFF, x >> 8], axis=1).reshape((_P,) + lead + (m,))
-    rhs = jnp.moveaxis(b8, -1, 0).reshape(m, _P * bflat).astype(jnp.bfloat16)
 
-    c = jnp.dot(table, rhs, preferred_element_type=jnp.float32)
-    c = c.reshape(_P, m, _P, bflat).astype(jnp.int32)
-
-    # anti-diagonal byte accumulation: D[t] = sum_{k+m'=t} C[k, :, m', :]
-    d = jnp.zeros((_NB, m, bflat), jnp.int32)
-    for mm in range(_P):
-        d = d.at[mm:mm + _P].add(c[:, :, mm, :])
+    if _P * m * _P * bflat > (1 << 28):
+        # large transforms: the full C tensor is 1024x the data (tens of
+        # GB at 2^19-scale batches) -- loop the dot over b's byte planes
+        # so peak memory is one [P*m, bflat] plane + the D accumulator
+        rhs3 = jnp.moveaxis(b8, -1, 1).reshape(_P, m, bflat) \
+            .astype(jnp.bfloat16)
+        d = jnp.zeros((_NB, m, bflat), jnp.int32)
+        for mm in range(_P):
+            c_m = jnp.dot(table, rhs3[mm],
+                          preferred_element_type=jnp.float32)
+            d = d.at[mm:mm + _P].add(
+                c_m.reshape(_P, m, bflat).astype(jnp.int32))
+    else:
+        rhs = jnp.moveaxis(b8, -1, 0).reshape(m, _P * bflat) \
+            .astype(jnp.bfloat16)
+        c = jnp.dot(table, rhs, preferred_element_type=jnp.float32)
+        c = c.reshape(_P, m, _P, bflat).astype(jnp.int32)
+        # anti-diagonal byte accumulation: D[t] = sum_{k+m'=t} C[k,:,m',:]
+        d = jnp.zeros((_NB, m, bflat), jnp.int32)
+        for mm in range(_P):
+            d = d.at[mm:mm + _P].add(c[:, :, mm, :])
 
     # carry scan: s32 byte columns -> u16 limbs
     def carry_body(carry, col):
