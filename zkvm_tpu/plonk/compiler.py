@@ -84,9 +84,13 @@ class Compiler:
         stacked = FR.to_mont_array(flat).reshape(FR.n_limbs, len(all_cols),
                                                  size)
         inv_t = MXUTransform(size, domain.group_gen_inv)
-        coeffs = lf.mont_mul_const(
-            FR, inv_t(stacked).reshape(FR.n_limbs, -1),
-            FR.const_mont(domain.size_inv))
+        import jax
+
+        # jitted: eager execution keeps every transform intermediate alive
+        # simultaneously (HBM OOM at the 2^16 preprocess)
+        coeffs = jax.jit(lambda t: lf.mont_mul_const(
+            FR, inv_t(t).reshape(FR.n_limbs, -1),
+            FR.const_mont(domain.size_inv)))(stacked)
         host_coeffs = FR.from_mont_array(coeffs)
         polys = {}
         for i, nm in enumerate(all_names):
@@ -127,11 +131,15 @@ class Compiler:
         big = FR.to_mont_array(flat).reshape(FR.n_limbs, len(all_names) + 1,
                                              size_8n)
         coset = domain_8n._factor("coset")
-        shifted = lf.mont_mul(
-            FR, big.reshape(FR.n_limbs, -1),
-            jnp.tile(coset, (1, len(all_names) + 1)))
         fwd8 = MXUTransform(size_8n, domain_8n.group_gen)
-        ev = fwd8(shifted.reshape(FR.n_limbs, len(all_names) + 1, size_8n))
+        cnt = len(all_names) + 1
+
+        def coset_fft_all(t):
+            shifted = lf.mont_mul(FR, t.reshape(FR.n_limbs, -1),
+                                  jnp.tile(coset, (1, cnt)))
+            return fwd8(shifted.reshape(FR.n_limbs, cnt, size_8n))
+
+        ev = jax.jit(coset_fft_all)(big)
         host_ev = FR.from_mont_array(ev.reshape(FR.n_limbs, -1))
         evals_8n = {}
         for i, nm in enumerate(all_names):
