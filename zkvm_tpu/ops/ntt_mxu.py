@@ -183,16 +183,23 @@ def _dft_leaf(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 
     if _P * m * _P * bflat > (1 << 28):
         # large transforms: the full C tensor is 1024x the data (tens of
-        # GB at 2^19-scale batches) -- loop the dot over b's byte planes
-        # so peak memory is one [P*m, bflat] plane + the D accumulator
+        # GB at 2^19-scale batches) -- fori_loop the dot over b's byte
+        # planes so peak memory is one [P*m, bflat] plane and the traced
+        # graph stays small (unrolled chunks overflowed the remote-compile
+        # request size limit at the 2^16-gate flagship scale)
         rhs3 = jnp.moveaxis(b8, -1, 1).reshape(_P, m, bflat) \
             .astype(jnp.bfloat16)
-        d = jnp.zeros((_NB, m, bflat), jnp.int32)
-        for mm in range(_P):
-            c_m = jnp.dot(table, rhs3[mm],
-                          preferred_element_type=jnp.float32)
-            d = d.at[mm:mm + _P].add(
-                c_m.reshape(_P, m, bflat).astype(jnp.int32))
+
+        def chunk_body(mm, d):
+            plane = jax.lax.dynamic_index_in_dim(rhs3, mm, 0,
+                                                 keepdims=False)
+            c_m = jnp.dot(table, plane, preferred_element_type=jnp.float32)
+            upd = c_m.reshape(_P, m, bflat).astype(jnp.int32)
+            cur = jax.lax.dynamic_slice(d, (mm, 0, 0), (_P, m, bflat))
+            return jax.lax.dynamic_update_slice(d, cur + upd, (mm, 0, 0))
+
+        d = jax.lax.fori_loop(0, _P, chunk_body,
+                              jnp.zeros((_NB, m, bflat), jnp.int32))
     else:
         rhs = jnp.moveaxis(b8, -1, 0).reshape(m, _P * bflat) \
             .astype(jnp.bfloat16)
