@@ -155,13 +155,14 @@ def _round_programs(pk: ProverKey, domain: Domain):
                for k in (1, K1, K2, K3)]
 
     @jax.jit
-    def p2_scan(wires_flat, beta_col, gamma_col):
+    def p2_scan(cns, wires_flat, beta_col, gamma_col):
         num = den = None
         for k in range(4):
             w = wires_flat[:, k * n:(k + 1) * n]
-            num_t = add(add(w, mul(roots_k[k], bc(beta_col, w))),
+            num_t = add(add(w, mul(cns["roots_k"][k], bc(beta_col, w))),
                         bc(gamma_col, w))
-            den_t = add(add(w, mul(dc["sigma_evals"][k], bc(beta_col, w))),
+            den_t = add(add(w, mul(cns["sigma_evals"][k],
+                                   bc(beta_col, w))),
                         bc(gamma_col, w))
             num = num_t if num is None else mul(num, num_t)
             den = den_t if den is None else mul(den, den_t)
@@ -180,7 +181,7 @@ def _round_programs(pk: ProverKey, domain: Domain):
     sel_names = [name for _, name in _SELECTOR_PAIRS]
 
     @jax.jit
-    def p3_quotient(wp, z_poly, pi_dense, chals, blinders):
+    def p3_quotient(cns, wp, z_poly, pi_dense, chals, blinders):
         # chals: [16, 7] columns (alpha, beta, gamma, range, logic,
         # fixed, var); blinders: [16, 3] (b12, b13, b14)
         pi_coeffs = ifft(pi_dense)
@@ -194,7 +195,7 @@ def _round_programs(pk: ProverKey, domain: Domain):
             [jnp.pad(t, [(0, 0), (0, size_8n - t.shape[-1])])
              for t in polys], axis=1)  # [16, 7, 8n]
         shifted = mul(stacked.reshape(FR.n_limbs, -1),
-                      jnp.tile(coset_f, (1, 7)))
+                      jnp.tile(cns["coset_f"], (1, 7)))
         ev = fwd8(shifted.reshape(FR.n_limbs, 7, size_8n))
         a8, b8, c8, d8, z8, pi8, l18 = (ev[:, i, :] for i in range(7))
         a8w = jnp.roll(a8, -8, axis=-1)
@@ -205,12 +206,12 @@ def _round_programs(pk: ProverKey, domain: Domain):
                   "gamma": chals[:, 2:3], "range_sep": chals[:, 3:4],
                   "logic_sep": chals[:, 4:5], "fixed_sep": chals[:, 5:6],
                   "var_sep": chals[:, 6:7]}
-        sel_d = {name: sel8[name] for name in sel_names}
+        sel_d = {name: cns["sel8"][name] for name in sel_names}
         numerator = qk.quotient_numerator.__wrapped__(
             sel_d, (a8, b8, c8, d8, a8w, b8w, d8w), z8, z8w, pi8, l18,
-            linear8, chal_d)
-        quotient = mul(numerator, v_h_inv)
-        t_coeffs = mul(inv8(quotient), coset_if)
+            cns["linear8"], chal_d)
+        quotient = mul(numerator, cns["v_h_inv"])
+        t_coeffs = mul(inv8(quotient), cns["coset_if"])
         bcols = [blinders[:, i:i + 1] for i in range(3)]
 
         def cross(chunk, head_b, tail_b):
@@ -255,8 +256,8 @@ def _round_programs(pk: ProverKey, domain: Domain):
         return t  # [S, 16, 1]
 
     @jax.jit
-    def p4_evals(wp, z_poly, z_col, w_col):
-        stack_z = jnp.concatenate([jnp.stack(wp), stat_z])  # [11, 16, n+2]
+    def p4_evals(cns, wp, z_poly, z_col, w_col):
+        stack_z = jnp.concatenate([jnp.stack(wp), cns["stat_z"]])
         at_w = [jnp.pad(t, [(0, 0), (0, m_w - t.shape[-1])])
                 for t in (wp[0], wp[1], wp[3], z_poly)]
         return eval_at(stack_z, z_col), eval_at(jnp.stack(at_w), w_col)
@@ -278,23 +279,24 @@ def _round_programs(pk: ProverKey, domain: Domain):
         return mul(suf[:, 1:], ipw)
 
     @jax.jit
-    def p5_openings(wp, z_poly, t4, sc):
+    def p5_openings(cns, wp, z_poly, t4, sc):
         # sc: [16, 33] scalar columns -- see _prove_fast for the layout
         col = lambda i: sc[:, i:i + 1]
         pad = lambda t: jnp.pad(t, [(0, 0), (0, lin_size - t.shape[-1])])
         lin = None
         for i, nm in enumerate(lin_names[:10]):
-            term = mul(pad(lin_stat[nm]), bc(col(i), pad(lin_stat[nm])))
-            lin = term if lin is None else add(lin, term)
+            t_ = pad(cns["lin_stat"][nm])
+            lin = (mul(t_, bc(col(i), t_)) if lin is None
+                   else add(lin, mul(t_, bc(col(i), t_))))
         lin = add(lin, mul(pad(z_poly), bc(col(10), pad(z_poly))))
-        lin = add(lin, mul(pad(lin_stat["s_sigma_4"]),
-                           bc(col(11), pad(lin_stat["s_sigma_4"]))))
+        s4 = pad(cns["lin_stat"]["s_sigma_4"])
+        lin = add(lin, mul(s4, bc(col(11), s4)))
         for j, t in enumerate(t4):
             lin = add(lin, mul(pad(t), bc(col(13 + j), pad(t))))
         lin = jnp.concatenate(
             [add(lin[:, :1], col(12)), lin[:, 1:]], axis=-1)
         agg = lin  # v^0 = 1
-        for j, t in enumerate(list(wp) + sig_coeffs):
+        for j, t in enumerate(list(wp) + list(cns["sig_coeffs"])):
             agg = add(agg, mul(pad(t), bc(col(18 + j), pad(t))))
         w_z = ruffini(agg, col(29), col(30))
         sagg = pad(z_poly)
@@ -303,8 +305,21 @@ def _round_programs(pk: ProverKey, domain: Domain):
         w_zw = ruffini(sagg, col(31), col(32))
         return w_z, w_zw
 
+    consts = {
+        "roots_k": tuple(roots_k),
+        "sigma_evals": tuple(dc["sigma_evals"]),
+        "sel8": dict(sel8),
+        "v_h_inv": v_h_inv,
+        "linear8": linear8,
+        "coset_f": coset_f,
+        "coset_if": coset_if,
+        "stat_z": stat_z,
+        "lin_stat": dict(lin_stat),
+        "sig_coeffs": tuple(sig_coeffs),
+    }
     cache = {"n": n, "p1": p1_wires, "p2a": p2_scan, "p2b": p2_z,
-             "p3": p3_quotient, "p4": p4_evals, "p5": p5_openings}
+             "p3": p3_quotient, "p4": p4_evals, "p5": p5_openings,
+             "consts": consts}
     pk._round_programs_cache = cache
     return cache
 
@@ -417,8 +432,8 @@ class Prover:
         # ROUND 2
         with metrics.GLOBAL.span("prove/round2_permutation"):
             bg = cols([beta, gamma])
-            pnum, sden, total_col = rp["p2a"](wires_flat, bg[:, :1],
-                                              bg[:, 1:2])
+            pnum, sden, total_col = rp["p2a"](rp["consts"], wires_flat,
+                                              bg[:, :1], bg[:, 1:2])
             total = FR.from_mont_array(total_col)[0]
             inv_total = cols([Fr(pow(total, -1, _Q))])
             blinders2 = [Fr.random(rng) for _ in range(3)]
@@ -438,7 +453,7 @@ class Prover:
         # ROUND 3
         with metrics.GLOBAL.span("prove/round3_quotient"):
             b_t = [Fr.random(rng) for _ in range(3)]
-            t4 = rp["p3"](wire_polys, z_poly,
+            t4 = rp["p3"](rp["consts"], wire_polys, z_poly,
                           dpoly.to_device(dense_public_inputs, n),
                           cols([alpha, beta, gamma, range_sep, logic_sep,
                                 fixed_sep, var_sep]), cols(b_t))
@@ -454,7 +469,8 @@ class Prover:
         with metrics.GLOBAL.span("prove/round4_evaluations"):
             shifted = z_challenge * Fr(domain.group_gen)
             zw = cols([z_challenge, shifted])
-            ev_z, ev_w = rp["p4"](wire_polys, z_poly, zw[:, :1], zw[:, 1:2])
+            ev_z, ev_w = rp["p4"](rp["consts"], wire_polys, z_poly,
+                                   zw[:, :1], zw[:, 1:2])
             vals_z = dpoly.from_device(jnp.moveaxis(ev_z[..., 0], 1, 0))
             vals_w = dpoly.from_device(jnp.moveaxis(ev_w[..., 0], 1, 0))
             (a_eval, b_eval, c_eval, d_eval, s_sigma_1_eval, s_sigma_2_eval,
@@ -542,7 +558,8 @@ class Prover:
                 z_challenge, Fr(pow(z_challenge.value, -1, _Q)),
                 shifted, Fr(pow(shifted.value, -1, _Q)),
             ]
-            w_z, w_zw = rp["p5"](wire_polys, z_poly, t4, cols(scalars))
+            w_z, w_zw = rp["p5"](rp["consts"], wire_polys, z_poly, t4,
+                                  cols(scalars))
             w_z_chall_comm, w_z_chall_w_comm = \
                 self.commit_key.commit_many_mont([w_z, w_zw])
 
