@@ -78,7 +78,9 @@ def test_aggregate_witness():
 
 def test_commit_degree_bounds(setup25):
     _, ck, _ = setup25
-    with pytest.raises(KZGError):
+    from zkvm_tpu.plonk.errors import PolynomialDegreeTooLarge
+
+    with pytest.raises(PolynomialDegreeTooLarge):
         ck.commit(rand_poly(ck.max_degree() + 1, StdRng(4)))
 
 

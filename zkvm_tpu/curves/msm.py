@@ -52,6 +52,26 @@ def msm_variable_base(points: list[G1Affine], scalars: list[Fr]) -> G1Projective
     return total
 
 
+def msm_host(points: list[G1Affine], scalars: list[Fr]) -> G1Projective:
+    """Latency-optimized host MSM: native C (Straus wNAF / Pippenger,
+    zkvm_tpu/native/bls.c) when the library is available, exact-equal
+    Python `msm_variable_base` otherwise.  This is the verifier's MSM
+    (proof.rs:335-375 runs the same fold in native Rust)."""
+    from ..native import native_msm
+
+    if len(points) == 0:
+        return G1Projective.identity()
+    res = native_msm(points, scalars)
+    if res is None:
+        return msm_variable_base(points, scalars)
+    x, y, inf = res
+    if inf:
+        return G1Projective.identity()
+    from ..fields import Fp
+
+    return G1Affine(Fp(x), Fp(y)).to_projective()
+
+
 def pippenger(points_scalars) -> G1Projective:
     """Signed-digit Pippenger (multiscalar_mul.rs:9-141).
 

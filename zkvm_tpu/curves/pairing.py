@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from .. import params
 from ..fields import Fp, Fp2, Fp6, Fp12, Fr
+from . import fast_tower
 from .g1 import G1Affine
 from .g2 import G2Affine, G2Projective
 
@@ -113,25 +114,27 @@ def _addition_step(r: G2Projective, q: G2Affine):
 
 
 class G2Prepared:
-    """Precomputed line coefficients for every Miller-loop step (pairings.rs:62)."""
+    """Precomputed line coefficients for every Miller-loop step
+    (pairings.rs:62).  Built on the raw-int fast path (fast_tower);
+    `.coeffs` materializes Fp2 objects lazily for the reference-class
+    Miller loop used in cross-tests."""
 
     def __init__(self, q: G2Affine):
         self.infinity = q.is_identity()
-        self.coeffs: list[tuple[Fp2, Fp2, Fp2]] = []
+        self.raw_coeffs: list = []
+        self._coeffs_obj = None
         if self.infinity:
             return
-        r = q.to_projective()
-        x = params.BLS_X >> 1
-        found_one = False
-        for i in range(63, -1, -1):
-            bit = (x >> i) & 1
-            if not found_one:
-                found_one = bit == 1
-                continue
-            self.coeffs.append(_doubling_step(r))
-            if bit:
-                self.coeffs.append(_addition_step(r, q))
-        self.coeffs.append(_doubling_step(r))
+        self.raw_coeffs = fast_tower.prepare_g2(
+            (q.x.c0.value, q.x.c1.value), (q.y.c0.value, q.y.c1.value))
+
+    @property
+    def coeffs(self) -> list:
+        if self._coeffs_obj is None:
+            self._coeffs_obj = [
+                tuple(Fp2(Fp(a), Fp(b)) for a, b in step)
+                for step in self.raw_coeffs]
+        return self._coeffs_obj
 
 
 def _ell(f: Fp12, coeffs, p: G1Affine) -> Fp12:
@@ -142,7 +145,27 @@ def _ell(f: Fp12, coeffs, p: G1Affine) -> Fp12:
 
 
 def multi_miller_loop(terms: list[tuple[G1Affine, G2Prepared]]) -> Fp12:
-    """Product of Miller loops; skips identity terms (pairings.rs:510)."""
+    """Product of Miller loops; skips identity terms (pairings.rs:510).
+    Runs on the raw-int fast tower; `multi_miller_loop_ref` below is the
+    class-based original, kept as the cross-check oracle."""
+    live = [(p.x.value, p.y.value, q.raw_coeffs) for p, q in terms
+            if not (p.is_identity() or q.infinity)]
+    return _fp12_from_tuple(fast_tower.miller_loop(live))
+
+
+def _fp12_to_tuple(f: Fp12):
+    return tuple(
+        tuple((c.c0.value, c.c1.value) for c in (six.c0, six.c1, six.c2))
+        for six in (f.c0, f.c1))
+
+
+def _fp12_from_tuple(t) -> Fp12:
+    return Fp12(*(Fp6(*(Fp2(Fp(a % fast_tower.P), Fp(b % fast_tower.P))
+                        for a, b in six)) for six in t))
+
+
+def multi_miller_loop_ref(terms: list[tuple[G1Affine, G2Prepared]]) -> Fp12:
+    """Class-tower Miller loop (bit-identical oracle for the fast path)."""
     live = [(p, q) for p, q in terms if not (p.is_identity() or q.infinity)]
     f = Fp12.one()
     cursor = 0
@@ -228,6 +251,11 @@ def _cyclotomic_exp(f: Fp12) -> Fp12:
 
 
 def final_exponentiation(f: Fp12) -> Gt:
+    """Fast-path final exponentiation (raw-int cyclotomic chain)."""
+    return Gt(_fp12_from_tuple(fast_tower.final_exp(_fp12_to_tuple(f))))
+
+
+def final_exponentiation_ref(f: Fp12) -> Gt:
     """Easy part by frobenius/inversion; hard part by the reference's
     addition chain (pairings.rs final_exponentiation / the zkcrypto chain),
     which computes f^(3*(p^4 - p^2 + 1)/r) -- the cube of the minimal

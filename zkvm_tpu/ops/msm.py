@@ -293,10 +293,31 @@ class MSMContext:
         w_count = host[0].shape[0] // len(sizes)
         return _host_window_fold(host, c, w_count, len(sizes), sizes)
 
+    def _padded(self, n_pad):
+        """Padded device point tensors + infinity flags, cached per size
+        class (the pad/flag ops are eager device calls -- one tunnel round
+        trip each on remote TPUs, so they must not run per commit)."""
+        cache = getattr(self, "_pad_cache", None)
+        if cache is None:
+            cache = self._pad_cache = {}
+        ent = cache.get(n_pad)
+        if ent is None:
+            pts = _pad_points(self.points, n_pad)
+            pinf = jnp.all(pts[2] == 0, axis=0).astype(jnp.uint32)
+            ent = cache[n_pad] = (pts, pinf)
+        return ent
+
     def _run(self, limbs, sizes, n_pad) -> list[G1Projective]:
-        c = _window_bits(n_pad)
-        pts = _pad_points(self.points, n_pad)
-        sums = _msm_pipeline(c, *pts, limbs)
+        from . import msm_tree
+
+        pts, pinf = self._padded(n_pad)
+        if n_pad >= msm_tree.TREE_MIN_POINTS:
+            c = msm_tree.TREE_WINDOW_BITS
+            sums = msm_tree._msm_tree_pipeline(c, pts[0], pts[1], pinf,
+                                               limbs)
+        else:
+            c = _window_bits(n_pad)
+            sums = _msm_pipeline(c, *pts, limbs)
         host = [np.asarray(t) for t in jax.device_get(sums)]
         w_count = host[0].shape[0] // len(sizes)
         return _host_window_fold(host, c, w_count, len(sizes), sizes)

@@ -112,7 +112,13 @@ class Domain:
     def __init__(self, size: int):
         if getattr(self, "size", None) == size:
             return  # cached
-        if size & (size - 1) or size == 0 or size > (1 << params.FR_TWO_ADICITY):
+        if size > (1 << params.FR_TWO_ADICITY):
+            # fft/domain.rs:35-43 InvalidEvalDomainSize
+            from ..plonk.errors import InvalidEvalDomainSize
+
+            raise InvalidEvalDomainSize(size.bit_length() - 1,
+                                        params.FR_TWO_ADICITY)
+        if size & (size - 1) or size == 0:
             raise ValueError(f"invalid domain size {size}")
         self.size = size
         self.log_size = size.bit_length() - 1

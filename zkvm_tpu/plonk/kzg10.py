@@ -17,8 +17,16 @@ from .polynomial import Polynomial
 from .transcript import Transcript
 
 
-class KZGError(ValueError):
-    pass
+from .errors import (DegreeIsZero, NotEnoughBytes,
+                     PairingCheckFailure, PlonkError, PointMalformed,
+                     PolynomialDegreeIsZero, PolynomialDegreeTooLarge,
+                     TruncatedDegreeIsZero, TruncatedDegreeTooLarge)
+
+
+class KZGError(PlonkError, ValueError):
+    """Legacy catch-all; specific sites raise the typed error.rs variants
+    (which subclass PlonkError, so `except KZGError` no longer catches them
+    -- use PlonkError)."""
 
 
 def powers_of(x: Fr, degree: int) -> list[Fr]:
@@ -137,9 +145,9 @@ class CommitKey:
 
     def truncate(self, truncated_degree: int) -> "CommitKey":
         if truncated_degree == 0:
-            raise KZGError("truncated degree is zero")
+            raise TruncatedDegreeIsZero()
         if truncated_degree > self.max_degree():
-            raise KZGError("truncated degree too large")
+            raise TruncatedDegreeTooLarge()
         if truncated_degree == 1:
             truncated_degree += 1
         return CommitKey(self.powers_of_g[: truncated_degree + 1])
@@ -149,9 +157,9 @@ class CommitKey:
         # check_commit_degree_is_within_bounds (key.rs:108-117)
         degree = polynomial.degree()
         if degree == 0:
-            raise KZGError("polynomial degree is zero")
+            raise PolynomialDegreeIsZero()
         if degree > self.max_degree():
-            raise KZGError("polynomial degree too large")
+            raise PolynomialDegreeTooLarge()
         return Commitment(_commit_msm(self, polynomial.coeffs))
 
     def commit_many(self, polynomials: list[Polynomial]) -> list[Commitment]:
@@ -159,9 +167,9 @@ class CommitKey:
         MSM); falls back to sequential commits on the host path."""
         for poly in polynomials:
             if poly.degree() == 0:
-                raise KZGError("polynomial degree is zero")
+                raise PolynomialDegreeIsZero()
             if poly.degree() > self.max_degree():
-                raise KZGError("polynomial degree too large")
+                raise PolynomialDegreeTooLarge()
         ctx = _device_ctx(self)
         if ctx is None:
             return [self.commit(p) for p in polynomials]
@@ -177,7 +185,7 @@ class CommitKey:
         scalars across the mesh (multi-chip prove)."""
         for t in tensors:
             if t.shape[-1] - 1 > self.max_degree():
-                raise KZGError("polynomial degree too large")
+                raise PolynomialDegreeTooLarge()
         ctx = _device_ctx(self, force=mesh is not None)
         if ctx is None:
             from .dpoly import from_device
@@ -209,7 +217,7 @@ class CommitKey:
         for i in range(0, len(buf), n):
             g = G1Affine.from_bytes(buf[i: i + n])
             if g is None:
-                raise KZGError("invalid G1 encoding")
+                raise PointMalformed()
             out.append(g)
         return cls(out)
 
@@ -291,11 +299,20 @@ class OpeningKey:
         total_c = total_c - self.g * g_multiplier
         affine_total_w = (-total_w).to_affine()
         affine_total_c = total_c.to_affine()
-        result = final_exponentiation(multi_miller_loop([
-            (affine_total_w, self.prepared_x_h),
-            (affine_total_c, self.prepared_h),
-        ]))
-        return result == Gt.identity()
+        from ..native import native_pairing_check
+
+        live = [(p, q) for p, q in ((affine_total_w, self.x_h),
+                                    (affine_total_c, self.h))
+                if not p.is_identity()]
+        ok = native_pairing_check(live) if live else True
+        if ok is None:
+            ok = final_exponentiation(multi_miller_loop([
+                (affine_total_w, self.prepared_x_h),
+                (affine_total_c, self.prepared_h),
+            ])) == Gt.identity()
+        if not ok:
+            raise PairingCheckFailure()  # key.rs:252
+        return True
 
 
 class PublicParameters:
@@ -310,7 +327,7 @@ class PublicParameters:
     @classmethod
     def setup(cls, max_degree: int, rng) -> "PublicParameters":
         if max_degree < 1:
-            raise KZGError("degree is zero")
+            raise DegreeIsZero()
         max_degree += cls.ADDED_BLINDING_DEGREE
         x = Fr.random(rng)
         xs = powers_of(x, max_degree)
@@ -343,10 +360,10 @@ class PublicParameters:
     @classmethod
     def from_slice(cls, buf: bytes) -> "PublicParameters":
         if len(buf) <= OpeningKey.SIZE:
-            raise KZGError("not enough bytes")
+            raise NotEnoughBytes()
         ok = OpeningKey.from_bytes(buf[: OpeningKey.SIZE])
         if ok is None:
-            raise KZGError("invalid OpeningKey")
+            raise PointMalformed()
         ck = CommitKey.from_slice(buf[OpeningKey.SIZE:])
         return cls(ck, ok)
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ..curves.g1 import G1Affine, G1Projective
-from ..curves.msm import msm_variable_base
+from ..curves.msm import msm_host
 from ..curves.pairing import Gt, final_exponentiation, multi_miller_loop
 from ..fields import Fr
 from ..ops.ntt import Domain, _batch_inverse
@@ -114,7 +114,7 @@ class Proof:
         z_h_eval = domain.evaluate_vanishing_polynomial(z_challenge)
         l1_eval = compute_first_lagrange_evaluation(domain, z_h_eval,
                                                     z_challenge)
-        lin_comm = self._compute_linearization_commitment(
+        lin_scalars, lin_points = self._linearization_terms(
             alpha, beta, gamma, (range_sep, logic_sep, fixed_sep, var_sep),
             z_challenge, u_challenge, l1_eval, verifier_key, domain)
 
@@ -173,21 +173,28 @@ class Proof:
             msm_scalars[V_MAX_DEGREE + 2],
             msm_scalars[V_MAX_DEGREE + 3],
         ]
-        right = (msm_variable_base(right_points, right_scalars)
-                 + lin_comm).to_affine()
-        left = (-(self.w_z_chall_comm.point.to_projective()
-                  + msm_points[V_MAX_DEGREE + 1]
-                  * msm_scalars[V_MAX_DEGREE + 1])).to_affine()
-        result = final_exponentiation(multi_miller_loop([
-            (left, opening_key.prepared_x_h),
-            (right, opening_key.prepared_h)]))
-        if result != Gt.identity():
+        right = msm_host(right_points + lin_points,
+                         right_scalars + lin_scalars).to_affine()
+        left = (-msm_host(
+            [self.w_z_chall_comm.point, msm_points[V_MAX_DEGREE + 1]],
+            [Fr.one(), msm_scalars[V_MAX_DEGREE + 1]])).to_affine()
+        from ..native import native_pairing_check
+
+        live = [(p, q) for p, q in ((left, opening_key.x_h),
+                                    (right, opening_key.h))
+                if not p.is_identity()]
+        ok = native_pairing_check(live) if live else True
+        if ok is None:  # no native library: exact-int Python tower
+            ok = final_exponentiation(multi_miller_loop([
+                (left, opening_key.prepared_x_h),
+                (right, opening_key.prepared_h)])) == Gt.identity()
+        if not ok:
             raise ProofVerificationError()
 
-    def _compute_linearization_commitment(self, alpha, beta, gamma, seps,
-                                          z_challenge, u_challenge, l1_eval,
-                                          verifier_key: VerifierKey,
-                                          domain: Domain) -> G1Projective:
+    def _linearization_terms(self, alpha, beta, gamma, seps,
+                             z_challenge, u_challenge, l1_eval,
+                             verifier_key: VerifierKey,
+                             domain: Domain):
         range_sep, logic_sep, fixed_sep, var_sep = seps
         scalars: list[Fr] = []
         points: list[G1Affine] = []
@@ -215,7 +222,7 @@ class Proof:
         points.append(self.t_high_comm.point)
         scalars.append(z_challenge.pow(3 * n) * z_h_eval)
         points.append(self.t_fourth_comm.point)
-        return msm_variable_base(points, scalars)
+        return scalars, points
 
 
 def compute_first_lagrange_evaluation(domain: Domain, z_h_eval: Fr,

@@ -28,7 +28,7 @@ from ..ops.ntt_mxu import MXUTransform
 from ..utils import metrics
 from . import dpoly
 from .composer import Composer
-from .errors import PlonkError
+from .errors import NotEnoughBytes, PlonkError
 from .kzg10 import CommitKey
 from .polynomial import Polynomial
 from .proof import Proof, compute_barycentric_eval
@@ -355,7 +355,7 @@ class Prover:
     @classmethod
     def try_from_bytes(cls, buf: bytes) -> "Prover":
         if len(buf) < 48:
-            raise PlonkError("not enough bytes")
+            raise NotEnoughBytes()
         label_len = int.from_bytes(buf[0:8], "big")
         pk_len = int.from_bytes(buf[8:16], "big")
         ck_len = int.from_bytes(buf[16:24], "big")

@@ -46,7 +46,15 @@ def _rotl(v: int, n: int) -> int:
 
 
 def keccak_f1600(state: bytearray) -> None:
-    """In-place Keccak-f[1600] over a 200-byte state (little-endian lanes)."""
+    """In-place Keccak-f[1600] over a 200-byte state (little-endian lanes).
+
+    Prefers the native permutation (native/bls.c, same byte semantics,
+    KAT-pinned by tests/test_transcript.py either way); this pure-Python
+    version is the fallback."""
+    from ..native import native_keccak_f1600
+
+    if native_keccak_f1600(state):
+        return
     a = [[int.from_bytes(state[8 * (x + 5 * y): 8 * (x + 5 * y) + 8], "little")
           for y in range(5)] for x in range(5)]
     for rc in _RC:

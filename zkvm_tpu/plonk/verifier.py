@@ -4,7 +4,8 @@ from __future__ import annotations
 
 from ..fields import Fr
 from .composer import Composer
-from .errors import InconsistentPublicInputsLen, PlonkError
+from .errors import (InconsistentPublicInputsLen, NotEnoughBytes,
+                     PlonkError)
 from .kzg10 import OpeningKey
 from .proof import Proof
 from .widgets import VerifierKey
@@ -46,7 +47,7 @@ class Verifier:
     @classmethod
     def try_from_bytes(cls, buf: bytes) -> "Verifier":
         if len(buf) < 48:
-            raise PlonkError("not enough bytes")
+            raise NotEnoughBytes()
         label_len = int.from_bytes(buf[0:8], "big")
         vk_len = int.from_bytes(buf[8:16], "big")
         ok_len = int.from_bytes(buf[16:24], "big")
