@@ -50,6 +50,63 @@ def test_compile_with_compressed_proves():
     verifier.verify(proof, public_inputs)
 
 
+def test_msgpack_payload_kat():
+    """Hand-derived msgpack KAT for the pre-compression payload bytes.
+
+    The reference packs `CompressedCircuit` with msgpacker 0.4.8 derive
+    (compress.rs:66-195): struct fields sequentially (no outer header),
+    bool as 0xc2/0xc3, usize minimally (fixint/uint8/16/32/64),
+    Vec<T> as msgpack array, [u8; 32] scalars as bin8, and deflates the
+    result.  This test rebuilds the expected payload for a 2-gate circuit
+    byte by byte from the msgpack spec -- independently of compress.py's
+    packer -- and asserts the DECOMPRESSED container bytes match exactly
+    (the deflate stream itself is compressor-dependent and not compared,
+    per the read path which accepts any raw-deflate stream).
+    """
+    import zlib
+
+    from zkvm_tpu.plonk.constraint_system import Constraint, Witness
+
+    composer = Composer.uninitialized()
+    for v in (0, 7, 11):
+        composer.append_witness(Fr(v))
+    w0, w1, w2 = Witness(0), Witness(1), Witness(2)
+    # gate 0: q_m=1, q_l=2, q_o=-1, arithmetic; wires a=w0 b=w1 c=w2
+    g0 = Constraint.arithmetic(
+        Constraint().mult(1).left(2).output(Fr.MODULUS - 1)
+        .a(w0).b(w1).c(w2))
+    composer.append_custom_gate(g0)
+    # gate 1: q_l=1 + public input; wires a=w0
+    g1 = Constraint.arithmetic(Constraint().left(1).public(Fr(5)).a(w0))
+    composer.append_custom_gate(g1)
+
+    blob = CompressedCircuit.from_composer(False, composer)
+    payload = zlib.decompress(blob, wbits=-15)
+
+    expected = bytearray()
+    expected += b"\xc2"              # hades_optimization: false
+    expected += b"\x91\x01"          # public_inputs: [1]
+    expected += b"\x03"              # witnesses: 3
+    # scalars beyond the {0, 1, -1} seed, first-use order: [2]
+    expected += b"\x92"[:0] + b"\x91"
+    expected += b"\xc4\x20" + (2).to_bytes(32, "little")
+    # polynomials: two selector combos, 11 scalar indexes each
+    # (q_m q_l q_r q_o q_f q_c q_arith q_range q_logic q_fixed q_var)
+    expected += b"\x92"
+    expected += bytes([1, 3, 0, 2, 0, 0, 1, 0, 0, 0, 0])   # gate 0
+    expected += bytes([0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0])   # gate 1
+    # constraints: (polynomial, a, b, c, d)
+    expected += b"\x92"
+    expected += bytes([0, 0, 1, 2, 0])
+    expected += bytes([1, 0, 0, 0, 0])
+    assert payload == bytes(expected)
+
+    # and the KAT circuit round-trips
+    restored = CompressedCircuit.from_bytes(blob)
+    assert len(restored.constraints) == 2
+    assert restored.public_input_indexes() == [1]
+
+
 def test_hades_seeded_dictionary_is_stable():
     from zkvm_tpu.plonk.compress import _legacy_hades_constants, _scalar_map
 
