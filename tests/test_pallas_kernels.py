@@ -123,3 +123,28 @@ def test_ntt_fold_kernel_matches_jnp():
             want = val % q
             limb_out = int(lf.limbs_to_int(np.asarray(got)[:, i, j]))
             assert limb_out == want, (i, j)
+
+
+def test_ntt_carry_fold_kernel_matches_host():
+    """The fused carry+fold kernel vs host big-int: s32 byte columns with
+    matmul-scale magnitudes (up to 256 * 255^2 < 2^24) reduce mod p in one
+    pass.  513 lanes after flattening crosses the 128-lane padding path."""
+    from zkvm_tpu.ops import ntt_mxu
+
+    m, b = 3, 171  # m*b = 513 lanes
+    d = np.zeros((ntt_mxu._NB, m, b), dtype=np.int32)
+    for i in range(m):
+        for j in range(b):
+            # byte-product columns like the DFT produces: the top columns
+            # stay small so the final carry dies inside the spare columns
+            for t in range(2 * ntt_mxu._P - 1):
+                d[t, i, j] = rng.randrange(1 << 24)
+    got = ntt_mxu._carry_fold_pallas_interpret(jnp.asarray(d))
+    q = params.FR_MODULUS
+    for i in range(m):
+        for j in range(b):
+            val = sum(int(d[t, i, j]) << (8 * t)
+                      for t in range(ntt_mxu._NB))
+            want = val % q
+            limb_out = int(lf.limbs_to_int(np.asarray(got)[:, i, j]))
+            assert limb_out == want, (i, j)

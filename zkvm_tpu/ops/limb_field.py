@@ -124,6 +124,21 @@ class FieldSpec:
                                                       self.n_limbs)
         return jnp.asarray(raw.T.astype(np.uint32))
 
+    def to_mont_array_np(self, values) -> np.ndarray:
+        """Pure-host Montgomery encoding [L, N] (numpy, no device ops).
+
+        For building constant tables that may be assembled while some other
+        program is being traced (a jnp op there would return that trace's
+        tracer); the Montgomery factor is folded with host bigints.
+        """
+        q, r = self.modulus, self.R
+        nbytes = 2 * self.n_limbs
+        buf = b"".join((int(v) % q * r % q).to_bytes(nbytes, "little")
+                       for v in values)
+        raw = np.frombuffer(buf, dtype="<u2").reshape(len(values),
+                                                      self.n_limbs)
+        return np.ascontiguousarray(raw.T.astype(np.uint32))
+
     def const_mont(self, value: int) -> np.ndarray:
         """[L, 1] Montgomery limb column for a host constant."""
         return int_to_limbs(value % self.modulus * self.R % self.modulus,

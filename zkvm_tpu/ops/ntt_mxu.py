@@ -120,11 +120,10 @@ def _mont_mul_lead(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return out.reshape((FR.n_limbs,) + lead)
 
 
-def _fold_kernel(limbs_ref, out_ref):
-    """Split-fold reduce: [34, M, B] raw u16 limbs -> [16, M, B] mod p."""
+def _fold_body(v):
+    """Split-fold reduce [34, ...] raw u16 limbs -> [16, ...] mod p."""
     from . import pallas_field as pf
 
-    v = limbs_ref[:]
     lo = v[0:16]
     mid = v[16:32]
     hi = jnp.concatenate(
@@ -134,8 +133,31 @@ def _fold_kernel(limbs_ref, out_ref):
         d, under = pf._sub_limbs(lo, p_ints)
         lo = jnp.where(under[None], lo, d)
     y = pf._add_k(FR, lo, pf._mont_mul_const_k(FR, mid, _K1))
-    y = pf._add_k(FR, y, pf._mont_mul_const_k(FR, hi, _K2))
-    out_ref[:] = y
+    return pf._add_k(FR, y, pf._mont_mul_const_k(FR, hi, _K2))
+
+
+def _fold_kernel(limbs_ref, out_ref):
+    """Split-fold reduce: [34, M, B] raw u16 limbs -> [16, M, B] mod p."""
+    out_ref[:] = _fold_body(limbs_ref[:])
+
+
+def _carry_fold_kernel(d_ref, out_ref):
+    """Fused carry + split-fold: [68, B] s32 byte columns -> [16, B] mod p.
+
+    Replaces the XLA lax.scan carry (68 sequential HBM-bound steps) and
+    the u16 repack with ONE pallas pass: the carry chain unrolls over
+    registers inside the kernel, so the byte-product tensor is read from
+    HBM exactly once (VERDICT r2 item 6: fold the NTT glue into the fold
+    kernel)."""
+    d = d_ref[:]
+    carry = jnp.zeros_like(d[0])
+    limbs = []
+    for t in range(_NB // 2):
+        v0 = d[2 * t] + carry
+        v1 = d[2 * t + 1] + (v0 >> 8)
+        carry = v1 >> 8
+        limbs.append(((v0 & 0xFF) | ((v1 & 0xFF) << 8)).astype(jnp.uint32))
+    out_ref[:] = _fold_body(jnp.stack(limbs))
 
 
 def _fold_pallas(limbs: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
@@ -170,6 +192,37 @@ def _fold_pallas(limbs: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 def _fold_pallas_interpret(limbs: jnp.ndarray) -> jnp.ndarray:
     """Interpret-mode entry for CPU tests (tests/test_pallas_kernels.py)."""
     return _fold_pallas(limbs, interpret=True)
+
+
+def _carry_fold_pallas(d: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """[68, M, B] s32 byte columns -> [16, M, B] mod p, one fused pass.
+
+    Same fixed 2048-lane 2D tiling as `_fold_pallas` (one Mosaic compile
+    shared by every transform size)."""
+    from jax.experimental import pallas as pl
+
+    _, m, b = d.shape
+    flat = d.reshape(_NB, m * b)
+    total = flat.shape[-1]
+    block = min(2048, max(128, -(-total // 128) * 128))
+    if total % block:
+        flat = jnp.pad(flat, [(0, 0), (0, block - total % block)])
+    nb = flat.shape[-1] // block
+    out = pl.pallas_call(
+        _carry_fold_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((_NB, block), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((FR.n_limbs, block), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((FR.n_limbs, flat.shape[-1]),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(flat)
+    return out[:, :m * b].reshape(FR.n_limbs, m, b)
+
+
+def _carry_fold_pallas_interpret(d: jnp.ndarray) -> jnp.ndarray:
+    """Interpret-mode entry for CPU tests."""
+    return _carry_fold_pallas(d, interpret=True)
 
 
 def _dft_leaf(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
@@ -210,22 +263,22 @@ def _dft_leaf(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
         for mm in range(_P):
             d = d.at[mm:mm + _P].add(c[:, :, mm, :])
 
-    # carry scan: s32 byte columns -> u16 limbs
-    def carry_body(carry, col):
-        v = col + carry
-        return v >> 8, v & 0xFF
-
-    _, bytes_out = jax.lax.scan(carry_body, jnp.zeros((m, bflat), jnp.int32),
-                                d)
-    pairs = bytes_out.reshape(_NB // 2, 2, m, bflat)
-    limbs = (pairs[:, 0] + (pairs[:, 1] << 8)).astype(jnp.uint32)
-
     from . import pallas_field
 
     if pallas_field._on_tpu():
-        y = _fold_pallas(limbs)                      # [16, m, bflat]
+        # fused carry + fold: one pallas pass straight from byte columns
+        y = _carry_fold_pallas(d)                    # [16, m, bflat]
         y = jnp.swapaxes(y, 1, 2)                    # [16, bflat, m]
     else:
+        # carry scan: s32 byte columns -> u16 limbs
+        def carry_body(carry, col):
+            v = col + carry
+            return v >> 8, v & 0xFF
+
+        _, bytes_out = jax.lax.scan(
+            carry_body, jnp.zeros((m, bflat), jnp.int32), d)
+        pairs = bytes_out.reshape(_NB // 2, 2, m, bflat)
+        limbs = (pairs[:, 0] + (pairs[:, 1] << 8)).astype(jnp.uint32)
         # split-fold reduction mod p, limbs at -2 for the lf kernels
         lo = jnp.moveaxis(limbs[0:16], 0, -2)        # [m, 16, bflat]
         mid = jnp.moveaxis(limbs[16:32], 0, -2)
@@ -244,16 +297,22 @@ class _Plan:
     __slots__ = ("n", "leaf_table", "a", "b", "glue", "sub_b", "sub_a")
 
     def __init__(self, n: int, root: int, radices: list[int]):
+        # tables stay NUMPY: a plan can be first built inside somebody
+        # else's jit trace (e.g. DistributedDomain._build under a round
+        # program), and a jnp constant created there would be that trace's
+        # tracer -- caching it in MXUTransform._cache would leak it into
+        # every later trace.  jnp.asarray at apply time lifts them as
+        # ordinary per-trace constants instead.
         self.n = n
         if len(radices) == 1:
-            self.leaf_table = jnp.asarray(_dft_matrix_bytes(n, root))
+            self.leaf_table = _dft_matrix_bytes(n, root)
             self.a = self.b = self.glue = self.sub_b = self.sub_a = None
         else:
             self.leaf_table = None
             a = radices[0]
             b = n // a
             self.a, self.b = a, b
-            self.glue = jnp.asarray(_glue_table(a, b, root))
+            self.glue = _glue_table(a, b, root)
             self.sub_b = _Plan(b, pow(root, a, _Q), radices[1:])
             self.sub_a = _Plan(a, pow(root, b, _Q), [a])
 
@@ -262,13 +321,14 @@ class _Plan:
         if self.n == 1:
             return x
         if self.leaf_table is not None:
-            return _dft_leaf(x, self.leaf_table)
+            return _dft_leaf(x, jnp.asarray(self.leaf_table))
         a, b = self.a, self.b
         lead = x.shape[1:-1]
         # x[j], j = j1 + a*j2  ->  A[.., j1, j2]
         xa = jnp.swapaxes(x.reshape(x.shape[:-1] + (b, a)), -1, -2)
         xb = self.sub_b.apply(xa)                      # [.., j1, k2]
-        glue = self.glue.reshape((FR.n_limbs,) + (1,) * len(lead) + (a, b))
+        glue = jnp.asarray(self.glue).reshape(
+            (FR.n_limbs,) + (1,) * len(lead) + (a, b))
         xb = _mont_mul_lead(xb, glue)
         xc = self.sub_a.apply(jnp.swapaxes(xb, -1, -2))  # [.., k2, k1]
         # X[k2 + b*k1]: row-major [k1, k2]
