@@ -33,10 +33,13 @@ def test_msm_sharded_matches_host(devices):
         assert msm_sharded(pts, scs, mesh) == expected
 
 
-def test_dryrun_multichip_entrypoint(devices):
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_dryrun_multichip_entrypoint(devices, n_devices):
     import __graft_entry__ as g
 
-    g.dryrun_multichip(min(8, len(devices)))
+    if len(devices) < n_devices:
+        pytest.skip(f"needs >= {n_devices} virtual devices")
+    g.dryrun_multichip(n_devices)
 
 
 def test_distributed_ntt_matches_single_chip(devices):
@@ -56,3 +59,34 @@ def test_distributed_ntt_matches_single_chip(devices):
         got = dd.fft_device(x)
         assert FR.from_mont_array(got) == ref
         assert FR.from_mont_array(dd.ifft_device(got)) == vals
+
+
+def test_distributed_ntt_device_sweep(devices):
+    """Shard-count sweep: any pow-2 mesh at any pow-2 domain works (small
+    domains and non-pow-2 meshes fall back to a replicated local
+    transform); forward/inverse/coset all bit-equal to single chip."""
+    from zkvm_tpu.ops.limb_field import FR
+    from zkvm_tpu.ops.ntt import Domain
+    from zkvm_tpu.ops.ntt_sharded import DistributedDomain
+
+    rng = random.Random(23)
+    cases = [(1 << 10, 2), (1 << 10, 8), (1 << 12, 4), (1 << 12, 8),
+             (64, 8),     # too small to split over 8: local fallback
+             (1 << 10, 3)]  # non-pow-2 mesh: local fallback
+    for n, nd in cases:
+        if len(devices) < nd:
+            continue
+        vals = [rng.randrange(Fr.MODULUS) for _ in range(n)]
+        x = FR.to_mont_array(vals)
+        mesh = Mesh(devices[:nd], ("ntt",))
+        dd = DistributedDomain(n, mesh)
+        dom = Domain(n)
+        got = dd.fft_device(x)
+        assert (jax.device_get(got)
+                == jax.device_get(dom.fft_device(x))).all(), (n, nd)
+        assert FR.from_mont_array(dd.ifft_device(got)) == vals, (n, nd)
+        gotc = dd.coset_fft_device(x)
+        assert (jax.device_get(gotc)
+                == jax.device_get(dom.coset_fft_device(x))).all(), (n, nd)
+        assert FR.from_mont_array(dd.coset_ifft_device(gotc)) == vals, (
+            n, nd)

@@ -80,12 +80,23 @@ class DistributedDomain:
         self.mesh = mesh
         self.axis = axis or mesh.axis_names[0]
         self.n_dev = mesh.devices.size
-        # N1 = local FFT length of step 1; shard the N2 axis across devices
-        self.n1 = 1 << (size.bit_length() - 1) // 2
-        self.n2 = size // self.n1
-        assert self.n1 * self.n2 == size
-        assert self.n2 % self.n_dev == 0, "N2 must divide across devices"
-        assert self.n1 % self.n_dev == 0, "N1 must divide across devices"
+        # N1 = local FFT length of step 1; shard the N2 axis across devices.
+        # Both factors must divide the device count, so lift N1 to a
+        # multiple of it when the square split falls short (any pow-2 mesh
+        # works once size >= n_dev^2).  Non-pow-2 meshes and domains too
+        # small to split fall back to a replicated single-chip transform --
+        # at those sizes the transform is a few microseconds of MXU work
+        # and communication would dominate anyway.
+        lb = size.bit_length() - 1
+        d = self.n_dev.bit_length() - 1
+        pow2_mesh = self.n_dev == (1 << d)
+        self.local = not (pow2_mesh and size == (1 << lb) and lb >= 2 * d)
+        if self.local:
+            self._domain = Domain(size)
+            return
+        l1 = max(d, lb // 2)
+        self.n1 = 1 << l1
+        self.n2 = size >> l1
         self.n2_loc = self.n2 // self.n_dev
         self.n1_loc = self.n1 // self.n_dev
 
@@ -165,6 +176,12 @@ class DistributedDomain:
     def _run(self, x: jnp.ndarray, inverse: bool,
              coset: bool = False) -> jnp.ndarray:
         """x: [L, N] coefficients -> [L, N] evaluations (natural order)."""
+        if self.local:
+            dom = self._domain
+            fn = ((dom.coset_ifft_device if coset else dom.ifft_device)
+                  if inverse else
+                  (dom.coset_fft_device if coset else dom.fft_device))
+            return fn(x)
         l = FR.n_limbs
         fn, glue = self._build(inverse, coset)
         if coset and not inverse:
