@@ -85,3 +85,30 @@ def test_batch_pipeline_end_to_end(tmp_path):
     # second run hits the circuit cache (same capacity)
     proven2 = process_batch_proofs_with_config(config)
     assert proven2 == 3
+
+
+def test_multi_opening_circuit_mesh_prove():
+    """The flagship MultiOpeningCircuit shape at small K: single-chip and
+    8-device mesh proves must be byte-identical (the jitted mesh round
+    programs at a domain >= 2^13 -- the VERDICT round-3 coverage bar)."""
+    import jax
+    from jax.sharding import Mesh
+    import pytest
+
+    from zkvm_tpu.plonk import Compiler, PublicParameters
+    from zkvm_tpu.rng import StdRng
+    from zkvm_tpu.service.batch import MultiOpeningCircuit
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    circuit = MultiOpeningCircuit.default_for(3, 2)
+    pp = PublicParameters.setup(1 << 14, StdRng(5))
+    prover, verifier = Compiler.compile_with_circuit(pp, b"multi", circuit)
+    assert prover.size >= 1 << 13, prover.size
+    proof1, pis1 = prover.prove(StdRng(9), circuit)
+    verifier.verify(proof1, pis1)
+    mesh = Mesh(devices[:8], ("shard",))
+    proofm, pism = prover.prove(StdRng(9), circuit, mesh=mesh)
+    assert proofm.to_bytes() == proof1.to_bytes()
+    verifier.verify(proofm, pism)

@@ -133,6 +133,7 @@ class Domain:
         # is the default transform; the scanned butterfly stays available
         # via ZKVM_NTT_IMPL=butterfly for cross-checks)
         self._factors: dict[str, jnp.ndarray] = {}
+        self._factors_np: dict[str, "np.ndarray"] = {}
         self._butterfly: tuple | None = None
 
     def _butterfly_tables(self):
@@ -201,20 +202,32 @@ class Domain:
         return FR.to_mont_array(powers)
 
     def _factor(self, key: str) -> jnp.ndarray:
-        """Precomputed pointwise factor arrays (Montgomery form, [n, L])."""
-        if key not in self._factors:
-            q = params.FR_MODULUS
-            n = self.size
-            if key == "coset":          # g^i
-                vals = self._powers(self.generator)
-            elif key == "coset_inv_scaled":  # g^{-i} * n^{-1}
-                vals = [v * self.size_inv % q for v in self._powers(self.generator_inv)]
-            elif key == "size_inv":     # n^{-1} broadcast
-                vals = [self.size_inv] * n
-            else:
-                raise KeyError(key)
-            self._factors[key] = FR.to_mont_array(vals)
-        return self._factors[key]
+        """Precomputed pointwise factor arrays (Montgomery form, [L, n]).
+
+        Built host-side (may run under an active jit trace) and lifted to
+        device once; under a trace the lift is a baked constant and is NOT
+        cached (caching it would leak that trace's tracer)."""
+        dev = self._factors.get(key)
+        if dev is None:
+            if key not in self._factors_np:
+                q = params.FR_MODULUS
+                n = self.size
+                if key == "coset":          # g^i
+                    vals = self._powers(self.generator)
+                elif key == "coset_inv_scaled":  # g^{-i} * n^{-1}
+                    vals = [v * self.size_inv % q
+                            for v in self._powers(self.generator_inv)]
+                elif key == "size_inv":     # n^{-1} broadcast
+                    vals = [self.size_inv] * n
+                else:
+                    raise KeyError(key)
+                self._factors_np[key] = FR.to_mont_array_np(vals)
+            import jax
+
+            dev = jnp.asarray(self._factors_np[key])
+            if not isinstance(dev, jax.core.Tracer):
+                self._factors[key] = dev
+        return dev
 
     def _powers(self, base: int) -> list[int]:
         q = params.FR_MODULUS

@@ -100,8 +100,9 @@ def _glue_table(a: int, b: int, root: int) -> np.ndarray:
             vals.append(cur)
             cur = cur * ra % _Q
         ra = ra * root % _Q
-    arr = np.asarray(jax.device_get(FR.to_mont_array(vals)))
-    return arr.reshape(FR.n_limbs, a, b)
+    # host-only encoding: plans may be first built under an active jit
+    # trace (a device op there would yield that trace's tracer)
+    return FR.to_mont_array_np(vals).reshape(FR.n_limbs, a, b)
 
 
 def _mont_mul_lead(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -294,16 +295,21 @@ def _dft_leaf(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 class _Plan:
     """One Cooley-Tukey level: n = a * b with precomputed tables."""
 
-    __slots__ = ("n", "leaf_table", "a", "b", "glue", "sub_b", "sub_a")
+    __slots__ = ("n", "leaf_table", "a", "b", "glue", "sub_b", "sub_a",
+                 "_dev")
 
     def __init__(self, n: int, root: int, radices: list[int]):
-        # tables stay NUMPY: a plan can be first built inside somebody
-        # else's jit trace (e.g. DistributedDomain._build under a round
-        # program), and a jnp constant created there would be that trace's
-        # tracer -- caching it in MXUTransform._cache would leak it into
-        # every later trace.  jnp.asarray at apply time lifts them as
-        # ordinary per-trace constants instead.
+        # tables are built as NUMPY: a plan can be first built inside
+        # somebody else's jit trace (e.g. DistributedDomain._build under a
+        # round program), and a table materialized with device ops there
+        # would be that trace's tracer -- caching it in MXUTransform._cache
+        # would leak it into every later trace.  The device LIFT of a numpy
+        # constant, by contrast, is always a concrete array, so it is
+        # cached after the first use (_lift): re-lifting per call paid a
+        # full host->device table upload per eager transform, which on a
+        # remote-attached TPU turned a 7ms 2^16 fft into seconds.
         self.n = n
+        self._dev = {}
         if len(radices) == 1:
             self.leaf_table = _dft_matrix_bytes(n, root)
             self.a = self.b = self.glue = self.sub_b = self.sub_a = None
@@ -316,18 +322,34 @@ class _Plan:
             self.sub_b = _Plan(b, pow(root, a, _Q), radices[1:])
             self.sub_a = _Plan(a, pow(root, b, _Q), [a])
 
+    def _lift(self, name: str) -> jnp.ndarray:
+        """Device lift of a numpy table, cached ONLY when concrete.
+
+        Eagerly applied transforms would otherwise re-upload every table
+        per call (a full host->device transfer each -- seconds per 2^16
+        fft on a remote-attached TPU); under a jit trace jnp.asarray
+        returns that trace's tracer, which must not be cached (it would
+        leak into every later trace) and costs nothing anyway -- the
+        constant is baked into the compiled program."""
+        dev = self._dev.get(name)
+        if dev is None:
+            dev = jnp.asarray(getattr(self, name))
+            if not isinstance(dev, jax.core.Tracer):
+                self._dev[name] = dev
+        return dev
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         """DFT along the last axis of [L, *lead, n]."""
         if self.n == 1:
             return x
         if self.leaf_table is not None:
-            return _dft_leaf(x, jnp.asarray(self.leaf_table))
+            return _dft_leaf(x, self._lift("leaf_table"))
         a, b = self.a, self.b
         lead = x.shape[1:-1]
         # x[j], j = j1 + a*j2  ->  A[.., j1, j2]
         xa = jnp.swapaxes(x.reshape(x.shape[:-1] + (b, a)), -1, -2)
         xb = self.sub_b.apply(xa)                      # [.., j1, k2]
-        glue = jnp.asarray(self.glue).reshape(
+        glue = self._lift("glue").reshape(
             (FR.n_limbs,) + (1,) * len(lead) + (a, b))
         xb = _mont_mul_lead(xb, glue)
         xc = self.sub_a.apply(jnp.swapaxes(xb, -1, -2))  # [.., k2, k1]

@@ -68,8 +68,9 @@ def _glue_twiddles(n: int, n1: int, n2_local: int, dev: int, n_dev: int,
         for off in range(n2_local):
             b = dev * n2_local + off
             vals.append(pow(root, b * c, _Q))
-    arr = np.asarray(jax.device_get(FR.to_mont_array(vals)))  # [L, n1*n2loc]
-    return arr.reshape(FR.n_limbs, n1, n2_local)
+    # host-only encoding: this can run under an active jit trace (the
+    # mesh round programs build DistributedDomain plans on first trace)
+    return FR.to_mont_array_np(vals).reshape(FR.n_limbs, n1, n2_local)
 
 
 class DistributedDomain:
@@ -101,7 +102,7 @@ class DistributedDomain:
         self.n1_loc = self.n1 // self.n_dev
 
     @functools.lru_cache(maxsize=None)
-    def _coset_tables(self, inverse: bool):
+    def _coset_tables_np(self, inverse: bool) -> np.ndarray:
         """Per-device coset scaling tables (GENERATOR=7 power distribution,
         fft/domain.rs:168-196 semantics), laid out to match the sharded
         tensor at the point where the scale is applied:
@@ -110,6 +111,10 @@ class DistributedDomain:
                    i = N2*a + b.
           inverse: output z[c, d] sharded over c -> [D, L, n1loc, n2] of
                    g^-k * N^-1, k = N1*d + c.
+
+        NUMPY out (host-only encoding): first use may happen under a jit
+        trace (the mesh round programs), where a device table would be
+        that trace's tracer.
         """
         g = params.FR_GENERATOR
         if not inverse:
@@ -118,9 +123,9 @@ class DistributedDomain:
                 vals = [pow(g, self.n2 * a + (dev * self.n2_loc + off), _Q)
                         for a in range(self.n1)
                         for off in range(self.n2_loc)]
-                arr = np.asarray(jax.device_get(FR.to_mont_array(vals)))
-                tabs.append(arr.reshape(FR.n_limbs, self.n1, self.n2_loc))
-            return jnp.asarray(np.stack(tabs))
+                tabs.append(FR.to_mont_array_np(vals).reshape(
+                    FR.n_limbs, self.n1, self.n2_loc))
+            return np.stack(tabs)
         g_inv = pow(g, -1, _Q)
         n_inv = pow(self.size, -1, _Q)
         tabs = []
@@ -129,10 +134,31 @@ class DistributedDomain:
                     * n_inv % _Q
                     for c in range(self.n1_loc)
                     for d in range(self.n2)]
-            arr = np.asarray(jax.device_get(FR.to_mont_array(vals)))
-            tabs.append(arr.reshape(FR.n_limbs, self.n1_loc, self.n2))
-        return jnp.asarray(np.stack(tabs))
+            tabs.append(FR.to_mont_array_np(vals).reshape(
+                FR.n_limbs, self.n1_loc, self.n2))
+        return np.stack(tabs)
 
+    def _lift(self, key: str, np_builder) -> jnp.ndarray:
+        """Device lift of a numpy table; cached ONLY when concrete (under
+        a trace the lift is a baked constant and must not be cached)."""
+        cache = getattr(self, "_dev_tables", None)
+        if cache is None:
+            cache = self._dev_tables = {}
+        dev = cache.get(key)
+        if dev is None:
+            dev = jnp.asarray(np_builder())
+            if not isinstance(dev, jax.core.Tracer):
+                cache[key] = dev
+        return dev
+
+    @functools.lru_cache(maxsize=None)
+    def _glue_np(self, inverse: bool) -> np.ndarray:
+        return np.stack([
+            _glue_twiddles(self.size, self.n1, self.n2_loc, d, self.n_dev,
+                           inverse)
+            for d in range(self.n_dev)])  # [D, L, n1, n2loc]
+
+    @functools.lru_cache(maxsize=None)
     def _build(self, inverse: bool, coset: bool):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -141,9 +167,6 @@ class DistributedDomain:
         fft1 = _BatchedNTT(n1, n2_loc, inverse)
         fft2 = _BatchedNTT(n2, n1_loc, inverse)
         axis = self.axis
-        glue = jnp.asarray(np.stack([
-            _glue_twiddles(self.size, n1, n2_loc, d, self.n_dev, inverse)
-            for d in range(self.n_dev)]))  # [D, L, n1, n2loc]
 
         def mul_tbl(t, tbl):
             l = t.shape[0]
@@ -171,7 +194,7 @@ class DistributedDomain:
                                  P(axis)),
                        out_specs=P(None, axis, None),
                        check_vma=False)
-        return jax.jit(fn), glue
+        return jax.jit(fn)
 
     def _run(self, x: jnp.ndarray, inverse: bool,
              coset: bool = False) -> jnp.ndarray:
@@ -183,14 +206,17 @@ class DistributedDomain:
                   (dom.coset_fft_device if coset else dom.fft_device))
             return fn(x)
         l = FR.n_limbs
-        fn, glue = self._build(inverse, coset)
+        fn = self._build(inverse, coset)
+        glue = self._lift(f"glue{inverse}", lambda: self._glue_np(inverse))
         if coset and not inverse:
-            pre = self._coset_tables(False)
+            pre = self._lift("coset_f", lambda: self._coset_tables_np(False))
         else:
             pre = jnp.zeros((self.n_dev, l, self.n1, self.n2_loc), jnp.uint32)
         if inverse:
             # n^-1 (plain ifft) or g^-k * n^-1 (coset ifft), applied sharded
-            post = (self._coset_tables(True) if coset else
+            post = (self._lift("coset_i",
+                               lambda: self._coset_tables_np(True))
+                    if coset else
                     jnp.broadcast_to(
                         jnp.asarray(FR.const_mont(pow(self.size, -1, _Q)))
                         [None, :, :, None],

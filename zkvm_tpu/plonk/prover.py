@@ -32,7 +32,6 @@ from .errors import NotEnoughBytes, PlonkError
 from .kzg10 import CommitKey
 from .polynomial import Polynomial
 from .proof import Proof, compute_barycentric_eval
-from .quotient import build_quotient_device
 from .transcript import Transcript
 from .widgets import (ProofEvaluations, ProverKey, VerifierKey,
                       _fixed_base_identity, _logic_identity, _range_identity,
@@ -324,6 +323,144 @@ def _round_programs(pk: ProverKey, domain: Domain):
     return cache
 
 
+def _mesh_round_programs(pk: ProverKey, domain: Domain, mesh, axis: str):
+    """Jitted per-round programs for the MESH prover.
+
+    Same one-program-per-round structure as `_round_programs` (eager glue
+    between kernels costs a dispatch each -- on real multi-chip hardware
+    that is exactly the overhead the mesh path exists to avoid), with the
+    heavy transforms swapped for their sharded counterparts: distributed
+    4-step (coset) NTTs with an all_to_all transpose, cross-shard
+    grand-product scans (one edge all_gather), and a shard_map pointwise
+    quotient.  Rounds 4 and 5 (evaluation stacks, linearization, ruffini)
+    are mesh-independent device math and are shared with the single-chip
+    program set, so proof bytes stay identical by construction.
+    """
+    import jax
+
+    key = (domain.size, tuple(d.id for d in mesh.devices.flat), axis)
+    cache = getattr(pk, "_mesh_programs_cache", None)
+    if cache is not None and cache["key"] == key:
+        return cache
+
+    rp = _round_programs(pk, domain)  # shared consts + p4/p5
+    n = domain.size
+    size_8n = 8 * n
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import quotient_kernel as qk
+    from ..ops.collective import sharded_scan_mul
+    from ..ops.ntt_sharded import DistributedDomain
+    from .quotient import _SELECTOR_PAIRS
+
+    ddom = DistributedDomain(n, mesh, axis)
+    dd8 = DistributedDomain(size_8n, mesh, axis)
+    one_col = jnp.asarray(FR.const_mont(1))
+
+    mul = lambda a, b: lf.mont_mul(FR, a, b)
+    add = lambda a, b: lf.add(FR, a, b)
+    bc = lambda col, like: jnp.broadcast_to(col, like.shape)
+
+    def blind(coeffs, b_cols):
+        k = b_cols.shape[-1]
+        low = lf.sub(FR, coeffs[:, :k], b_cols)
+        return jnp.concatenate([low, coeffs[:, k:], b_cols], axis=-1)
+
+    @jax.jit
+    def m1_wires(wires_flat, blinders):
+        return tuple(
+            blind(ddom.ifft_device(wires_flat[:, k * n:(k + 1) * n]),
+                  blinders[:, 2 * k: 2 * k + 2])
+            for k in range(4))
+
+    @jax.jit
+    def m2_scan(cns, wires_flat, beta_col, gamma_col):
+        num = den = None
+        for k in range(4):
+            w = wires_flat[:, k * n:(k + 1) * n]
+            num_t = add(add(w, mul(cns["roots_k"][k], bc(beta_col, w))),
+                        bc(gamma_col, w))
+            den_t = add(add(w, mul(cns["sigma_evals"][k],
+                                   bc(beta_col, w))),
+                        bc(gamma_col, w))
+            num = num_t if num is None else mul(num, num_t)
+            den = den_t if den is None else mul(den, den_t)
+        pnum = sharded_scan_mul(num, mesh, axis)
+        sden = sharded_scan_mul(den, mesh, axis, reverse=True)
+        return pnum, sden, sden[:, :1]
+
+    @jax.jit
+    def m2_z(pnum, sden, inv_total_col, blinders):
+        tail = mul(mul(pnum[:, :-1], sden[:, 1:]),
+                   jnp.broadcast_to(inv_total_col, (FR.n_limbs, n - 1)))
+        z_ev = jnp.concatenate([one_col, tail], axis=-1)
+        return blind(ddom.ifft_device(z_ev), blinders)
+
+    sel_names = [name for _, name in _SELECTOR_PAIRS]
+
+    @jax.jit
+    def m3_quotient(cns, wp, z_poly, pi_dense, chals, blinders):
+        pi_coeffs = ddom.ifft_device(pi_dense)
+        alpha = chals[:, 0:1]
+        alpha_sq = mul(alpha, alpha)
+        l1_vals = jnp.concatenate(
+            [alpha_sq, jnp.zeros((FR.n_limbs, n - 1), jnp.uint32)], axis=-1)
+        l1_coeffs = ddom.ifft_device(l1_vals)
+        polys = list(wp) + [z_poly, pi_coeffs, l1_coeffs]
+        ev = [dd8.coset_fft_device(
+                  jnp.pad(t, [(0, 0), (0, size_8n - t.shape[-1])]))
+              for t in polys]
+        a8, b8, c8, d8, z8, pi8, l18 = ev
+        a8w = jnp.roll(a8, -8, axis=-1)
+        b8w = jnp.roll(b8, -8, axis=-1)
+        d8w = jnp.roll(d8, -8, axis=-1)
+        z8w = jnp.roll(z8, -8, axis=-1)
+
+        def pointwise(sel_t, wires_t, z_t, zw_t, pi_t, l1_t, lin_t, vh_t,
+                      chal_t):
+            sel_d = dict(zip(sel_names, sel_t))
+            chal_d = dict(zip(("alpha", "beta", "gamma", "range_sep",
+                               "logic_sep", "fixed_sep", "var_sep"), chal_t))
+            num = qk.quotient_numerator.__wrapped__(
+                sel_d, wires_t, z_t, zw_t, pi_t, l1_t, lin_t, chal_d)
+            return mul(num, vh_t)
+
+        spec = P(None, axis)
+        fn = shard_map(
+            pointwise, mesh=mesh,
+            in_specs=(tuple([spec] * len(sel_names)), tuple([spec] * 7),
+                      spec, spec, spec, spec, spec, spec,
+                      tuple([P(None, None)] * 7)),
+            out_specs=spec, check_vma=False)
+        quotient = fn(tuple(cns["sel8"][nm] for nm in sel_names),
+                      (a8, b8, c8, d8, a8w, b8w, d8w), z8, z8w, pi8, l18,
+                      cns["linear8"], cns["v_h_inv"],
+                      tuple(chals[:, i:i + 1] for i in range(7)))
+        t_coeffs = dd8.coset_ifft_device(quotient)
+        bcols = [blinders[:, i:i + 1] for i in range(3)]
+
+        def cross(chunk, head_b, tail_b):
+            head = (chunk[:, :1] if head_b is None else
+                    lf.sub(FR, chunk[:, :1], head_b))
+            parts = [head, chunk[:, 1:]]
+            if tail_b is not None:
+                parts.append(tail_b)
+            return jnp.concatenate(parts, axis=-1)
+
+        return (cross(t_coeffs[:, :n], None, bcols[0]),
+                cross(t_coeffs[:, n:2 * n], bcols[0], bcols[1]),
+                cross(t_coeffs[:, 2 * n:3 * n], bcols[1], bcols[2]),
+                cross(t_coeffs[:, 3 * n:4 * n + 7], bcols[2], None))
+
+    cache = {"key": key, "n": n, "p1": m1_wires, "p2a": m2_scan,
+             "p2b": m2_z, "p3": m3_quotient, "p4": rp["p4"],
+             "p5": rp["p5"], "consts": rp["consts"]}
+    pk._mesh_programs_cache = cache
+    return cache
+
+
 class Prover:
     """Holds the preprocessed keys + base transcript (prover.rs:19-60)."""
 
@@ -378,22 +515,28 @@ class Prover:
               shard_axis: str | None = None) -> tuple[Proof, list[Fr]]:
         """Single-device proves run each round as ONE jitted device
         program (eager glue ops cost a full host<->device round trip each
-        on remote-attached TPUs).  With `mesh`, the heavy device programs
-        (wire/z/PI iFFTs, grand product scans, the 8n coset quotient and
-        every KZG commit MSM) run sharded over the mesh via shard_map
-        collectives; proof bytes are identical either way (asserted by
-        tests and __graft_entry__.dryrun_multichip)."""
-        if mesh is None:
-            return self._prove_fast(rng, circuit)
-        return self._prove_mesh(rng, circuit, mesh, shard_axis)
+        on remote-attached TPUs).  With `mesh`, the same round structure
+        runs with the sharded program set (`_mesh_round_programs`):
+        distributed 4-step NTTs, cross-shard grand-product scans, the
+        shard_map 8n coset quotient and sharded commit MSMs; proof bytes
+        are identical either way (asserted by tests and
+        __graft_entry__.dryrun_multichip)."""
+        return self._prove_fast(rng, circuit, mesh, shard_axis)
 
-    def _prove_fast(self, rng, circuit) -> tuple[Proof, list[Fr]]:
-        composer = Composer.prove(self.constraints, circuit)
+    def _prove_fast(self, rng, circuit, mesh=None,
+                    shard_axis: str | None = None) -> tuple[Proof, list[Fr]]:
+        # witness re-synthesis (composer.rs:964) is host Python and part of
+        # every proof's cost -- measured so the flagship accounting closes
+        with metrics.GLOBAL.span("prove/witness_synthesis"):
+            composer = Composer.prove(self.constraints, circuit)
         n = self.size
         domain = Domain(n)
         transcript = self.transcript.clone()
         pk = self.prover_key
-        rp = _round_programs(pk, domain)
+        axis = shard_axis or (mesh.axis_names[0] if mesh is not None
+                              else None)
+        rp = (_round_programs(pk, domain) if mesh is None else
+              _mesh_round_programs(pk, domain, mesh, axis))
 
         public_inputs = composer.public_input_values()
         public_input_indexes = composer.public_input_indexes()
@@ -402,13 +545,14 @@ class Prover:
         for pi in public_inputs:
             transcript.append_scalar(b"pi", pi)
 
-        wire_vals = [0] * (4 * n)
-        for i, gate in enumerate(composer.constraints):
-            wire_vals[i] = composer[gate.a].value
-            wire_vals[n + i] = composer[gate.b].value
-            wire_vals[2 * n + i] = composer[gate.c].value
-            wire_vals[3 * n + i] = composer[gate.d].value
-        wires_flat = FR.to_mont_array(wire_vals)  # [16, 4n]
+        with metrics.GLOBAL.span("prove/wire_ingest"):
+            wire_vals = [0] * (4 * n)
+            for i, gate in enumerate(composer.constraints):
+                wire_vals[i] = composer[gate.a].value
+                wire_vals[n + i] = composer[gate.b].value
+                wire_vals[2 * n + i] = composer[gate.c].value
+                wire_vals[3 * n + i] = composer[gate.d].value
+            wires_flat = FR.to_mont_array(wire_vals)  # [16, 4n]
 
         def cols(values):
             return dpoly.to_device([v.value if isinstance(v, Fr) else v
@@ -420,7 +564,8 @@ class Prover:
             # rng order matches blind_poly per wire: (b0, b1) a, b, c, d
             wire_polys = rp["p1"](wires_flat, cols(blinders1))
             a_comm, b_comm, c_comm, d_comm = \
-                self.commit_key.commit_many_mont(list(wire_polys))
+                self.commit_key.commit_many_mont(list(wire_polys),
+                                                 mesh=mesh, axis=axis)
             transcript.append_commitment(b"a_comm", a_comm)
             transcript.append_commitment(b"b_comm", b_comm)
             transcript.append_commitment(b"c_comm", c_comm)
@@ -438,7 +583,8 @@ class Prover:
             inv_total = cols([Fr(pow(total, -1, _Q))])
             blinders2 = [Fr.random(rng) for _ in range(3)]
             z_poly = rp["p2b"](pnum, sden, inv_total, cols(blinders2))
-            z_comm = self.commit_key.commit_many_mont([z_poly])[0]
+            z_comm = self.commit_key.commit_many_mont(
+                [z_poly], mesh=mesh, axis=axis)[0]
             transcript.append_commitment(b"z_comm", z_comm)
             alpha = transcript.challenge_scalar(b"alpha")
             range_sep = transcript.challenge_scalar(
@@ -458,7 +604,8 @@ class Prover:
                           cols([alpha, beta, gamma, range_sep, logic_sep,
                                 fixed_sep, var_sep]), cols(b_t))
             (t_low_comm, t_mid_comm, t_high_comm,
-             t_fourth_comm) = self.commit_key.commit_many_mont(list(t4))
+             t_fourth_comm) = self.commit_key.commit_many_mont(
+                list(t4), mesh=mesh, axis=axis)
             transcript.append_commitment(b"t_low_comm", t_low_comm)
             transcript.append_commitment(b"t_mid_comm", t_mid_comm)
             transcript.append_commitment(b"t_high_comm", t_high_comm)
@@ -561,268 +708,6 @@ class Prover:
             w_z, w_zw = rp["p5"](rp["consts"], wire_polys, z_poly, t4,
                                   cols(scalars))
             w_z_chall_comm, w_z_chall_w_comm = \
-                self.commit_key.commit_many_mont([w_z, w_zw])
-
-        proof = Proof(a_comm, b_comm, c_comm, d_comm, z_comm, t_low_comm,
-                      t_mid_comm, t_high_comm, t_fourth_comm, w_z_chall_comm,
-                      w_z_chall_w_comm, evaluations)
-        return proof, public_inputs
-
-    def _prove_mesh(self, rng, circuit, mesh,
-                    shard_axis: str | None) -> tuple[Proof, list[Fr]]:
-        composer = Composer.prove(self.constraints, circuit)
-        size = self.size
-        n = size
-        domain = Domain(size)
-        transcript = self.transcript.clone()
-        pk = self.prover_key
-        dc = _pk_device(pk, domain)
-        axis = shard_axis or (mesh.axis_names[0] if mesh is not None
-                              else None)
-        ddom = None
-        if mesh is not None:
-            from ..ops.ntt_sharded import DistributedDomain
-
-            ddom = DistributedDomain(n, mesh, axis)
-
-        public_inputs = composer.public_input_values()
-        public_input_indexes = composer.public_input_indexes()
-        dense_public_inputs = Composer.dense_public_inputs(
-            public_input_indexes, public_inputs, size)
-        for pi in public_inputs:
-            transcript.append_scalar(b"pi", pi)
-
-        # witness ingestion: host values -> ONE [16, 4n] device transfer
-        wire_vals = [0] * (4 * n)
-        for i, gate in enumerate(composer.constraints):
-            wire_vals[i] = composer[gate.a].value
-            wire_vals[n + i] = composer[gate.b].value
-            wire_vals[2 * n + i] = composer[gate.c].value
-            wire_vals[3 * n + i] = composer[gate.d].value
-        wires_flat = FR.to_mont_array(wire_vals)            # [16, 4n]
-        wires_ev = [wires_flat[:, k * n:(k + 1) * n] for k in range(4)]
-
-        # ROUND 1: batched iFFT of the 4 wire vectors + blind + commit
-        with metrics.GLOBAL.span("prove/round1_wires"):
-            if ddom is not None:
-                wire_coeffs = [ddom.ifft_device(w) for w in wires_ev]
-            else:
-                inv_t = MXUTransform(n, domain.group_gen_inv)
-                coeffs4 = inv_t(wires_flat.reshape(FR.n_limbs, 4, n))
-                coeffs4 = lf.mont_mul_const(
-                    FR, coeffs4.reshape(FR.n_limbs, 4 * n),
-                    FR.const_mont(domain.size_inv))
-                wire_coeffs = [coeffs4[:, k * n:(k + 1) * n]
-                               for k in range(4)]
-            wire_polys = [
-                dpoly.apply_blinders_device(rng, wc, 1)
-                for wc in wire_coeffs]                       # [16, n+2] x4
-            a_comm, b_comm, c_comm, d_comm = \
-                self.commit_key.commit_many_mont(wire_polys, mesh=mesh,
-                                                 axis=axis)
-            transcript.append_commitment(b"a_comm", a_comm)
-            transcript.append_commitment(b"b_comm", b_comm)
-            transcript.append_commitment(b"c_comm", c_comm)
-            transcript.append_commitment(b"d_comm", d_comm)
-            beta = transcript.challenge_scalar(b"beta")
-            transcript.append_scalar(b"beta", beta)
-            gamma = transcript.challenge_scalar(b"gamma")
-
-        # ROUND 2: grand product z (device scans) + blind + commit
-        with metrics.GLOBAL.span("prove/round2_permutation"):
-            from .permutation import Permutation
-
-            z_ev = Permutation.compute_permutation_tensor(
-                domain, wires_ev, dc["sigma_evals"], dc["roots"],
-                beta, gamma, mesh=mesh, axis=axis)
-            z_coeffs = (ddom.ifft_device(z_ev) if ddom is not None
-                        else domain.ifft_device(z_ev))
-            z_poly = dpoly.apply_blinders_device(rng, z_coeffs, 2)  # [16,n+3]
-            z_comm = self.commit_key.commit_many_mont(
-                [z_poly], mesh=mesh, axis=axis)[0]
-            transcript.append_commitment(b"z_comm", z_comm)
-            alpha = transcript.challenge_scalar(b"alpha")
-            range_sep = transcript.challenge_scalar(
-                b"range separation challenge")
-            logic_sep = transcript.challenge_scalar(
-                b"logic separation challenge")
-            fixed_sep = transcript.challenge_scalar(
-                b"fixed base separation challenge")
-            var_sep = transcript.challenge_scalar(
-                b"variable base separation challenge")
-
-        # ROUND 3: quotient over the 8n coset + split + cross-blind + commit
-        with metrics.GLOBAL.span("prove/round3_quotient"):
-            pi_dense_dev = dpoly.to_device(dense_public_inputs, n)
-            pi_dev = (ddom.ifft_device(pi_dense_dev) if ddom is not None
-                      else domain.ifft_device(pi_dense_dev))
-            t_coeffs = build_quotient_device(
-                domain, pk, z_poly, wire_polys, pi_dev,
-                (alpha, beta, gamma, range_sep, logic_sep, fixed_sep,
-                 var_sep), mesh=mesh, axis=axis)             # [16, 8n]
-            # t has degree ~4n+6 (permutation identity: z * four linear-ish
-            # wire factors); the fourth chunk keeps the high tail
-            b_12, b_13, b_14 = (Fr.random(rng), Fr.random(rng),
-                                Fr.random(rng))
-            bc = [dpoly.const_col(b.value) for b in (b_12, b_13, b_14)]
-            chunk = [t_coeffs[:, :n], t_coeffs[:, n:2 * n],
-                     t_coeffs[:, 2 * n:3 * n],
-                     t_coeffs[:, 3 * n:min(4 * n + 7, 8 * n)]]
-
-            def cross(chunk_t, head_blinder, tail_blinder):
-                head = (chunk_t[:, :1] if head_blinder is None else
-                        lf.sub(FR, chunk_t[:, :1], head_blinder))
-                parts = [head, chunk_t[:, 1:]]
-                if tail_blinder is not None:
-                    parts.append(tail_blinder)
-                return jnp.concatenate(parts, axis=-1)
-
-            t_low = cross(chunk[0], None, bc[0])
-            t_mid = cross(chunk[1], bc[0], bc[1])
-            t_high = cross(chunk[2], bc[1], bc[2])
-            t_fourth = cross(chunk[3], bc[2], None)
-            t_polys = [t_low, t_mid, t_high, t_fourth]
-            (t_low_comm, t_mid_comm, t_high_comm,
-             t_fourth_comm) = self.commit_key.commit_many_mont(
-                t_polys, mesh=mesh, axis=axis)
-            transcript.append_commitment(b"t_low_comm", t_low_comm)
-            transcript.append_commitment(b"t_mid_comm", t_mid_comm)
-            transcript.append_commitment(b"t_high_comm", t_high_comm)
-            transcript.append_commitment(b"t_fourth_comm", t_fourth_comm)
-            z_challenge = transcript.challenge_scalar(b"z_challenge")
-
-        # ROUND 4: 15 evaluations at z / z*omega (two batched device evals)
-        with metrics.GLOBAL.span("prove/round4_evaluations"):
-            shifted = z_challenge * Fr(domain.group_gen)
-            co = dc["coeff"]
-            at_z = [wire_polys[0], wire_polys[1], wire_polys[2],
-                    wire_polys[3], co["s_sigma_1"], co["s_sigma_2"],
-                    co["s_sigma_3"], co["q_arith"], co["q_c"], co["q_l"],
-                    co["q_r"]]
-            m_z = max(t.shape[-1] for t in at_z)
-            stack_z = jnp.stack(
-                [jnp.pad(t, [(0, 0), (0, m_z - t.shape[-1])]) for t in at_z])
-            (a_eval, b_eval, c_eval, d_eval, s_sigma_1_eval, s_sigma_2_eval,
-             s_sigma_3_eval, q_arith_eval, q_c_eval, q_l_eval,
-             q_r_eval) = dpoly.eval_stack(stack_z, z_challenge)
-
-            at_w = [wire_polys[0], wire_polys[1], wire_polys[3], z_poly]
-            m_w = max(t.shape[-1] for t in at_w)
-            stack_w = jnp.stack(
-                [jnp.pad(t, [(0, 0), (0, m_w - t.shape[-1])]) for t in at_w])
-            a_w_eval, b_w_eval, d_w_eval, z_eval = dpoly.eval_stack(
-                stack_w, shifted)
-
-            transcript.append_scalar(b"a_eval", a_eval)
-            transcript.append_scalar(b"b_eval", b_eval)
-            transcript.append_scalar(b"c_eval", c_eval)
-            transcript.append_scalar(b"d_eval", d_eval)
-            transcript.append_scalar(b"s_sigma_1_eval", s_sigma_1_eval)
-            transcript.append_scalar(b"s_sigma_2_eval", s_sigma_2_eval)
-            transcript.append_scalar(b"s_sigma_3_eval", s_sigma_3_eval)
-            transcript.append_scalar(b"z_eval", z_eval)
-            transcript.append_scalar(b"a_w_eval", a_w_eval)
-            transcript.append_scalar(b"b_w_eval", b_w_eval)
-            transcript.append_scalar(b"d_w_eval", d_w_eval)
-            transcript.append_scalar(b"q_arith_eval", q_arith_eval)
-            transcript.append_scalar(b"q_c_eval", q_c_eval)
-            transcript.append_scalar(b"q_l_eval", q_l_eval)
-            transcript.append_scalar(b"q_r_eval", q_r_eval)
-            evaluations = ProofEvaluations(
-                a_eval=a_eval, b_eval=b_eval, c_eval=c_eval, d_eval=d_eval,
-                a_w_eval=a_w_eval, b_w_eval=b_w_eval, d_w_eval=d_w_eval,
-                q_arith_eval=q_arith_eval, q_c_eval=q_c_eval,
-                q_l_eval=q_l_eval, q_r_eval=q_r_eval,
-                s_sigma_1_eval=s_sigma_1_eval,
-                s_sigma_2_eval=s_sigma_2_eval,
-                s_sigma_3_eval=s_sigma_3_eval, z_eval=z_eval)
-
-        # ROUND 5: linearization + two aggregate openings (device lin-comb
-        # and ruffini; linearization_poly.rs:146-272 scalar factors on host)
-        with metrics.GLOBAL.span("prove/round5_openings"):
-            v_challenge = transcript.challenge_scalar(b"v_challenge")
-            ev = evaluations
-            qa = q_arith_eval
-            terms = [
-                (co["q_m"], a_eval * b_eval * qa),
-                (co["q_l"], a_eval * qa),
-                (co["q_r"], b_eval * qa),
-                (co["q_o"], c_eval * qa),
-                (co["q_f"], d_eval * qa),
-                (co["q_c"], qa),
-                (co["q_range"], Fr(_range_identity(
-                    range_sep.value, a_eval.value, b_eval.value,
-                    c_eval.value, d_eval.value, d_w_eval.value))),
-                (co["q_logic"], Fr(_logic_identity(
-                    logic_sep.value, a_eval.value, a_w_eval.value,
-                    b_eval.value, b_w_eval.value, c_eval.value,
-                    d_eval.value, d_w_eval.value, q_c_eval.value))),
-                (co["q_fixed_group_add"], Fr(_fixed_base_identity(
-                    fixed_sep.value, a_eval.value, a_w_eval.value,
-                    b_eval.value, b_w_eval.value, c_eval.value,
-                    d_eval.value, d_w_eval.value, q_l_eval.value,
-                    q_r_eval.value, q_c_eval.value))),
-                (co["q_variable_group_add"], Fr(_var_base_identity(
-                    var_sep.value, a_eval.value, a_w_eval.value,
-                    b_eval.value, b_w_eval.value, c_eval.value,
-                    d_eval.value, d_w_eval.value))),
-            ]
-            # permutation linearization (widget/permutation compute_lin.)
-            beta_z = beta * z_challenge
-            acc = ((a_eval + beta_z + gamma)
-                   * (b_eval + Fr(K1) * beta_z + gamma)
-                   * (c_eval + Fr(K2) * beta_z + gamma)
-                   * (d_eval + Fr(K3) * beta_z + gamma) * alpha)
-            zn = pow(z_challenge.value, n, _Q)
-            # L1(z) = (z^n - 1) / (n (z - 1))
-            l_1_z = Fr((zn - 1) % _Q) * Fr(pow(
-                n * (z_challenge.value - 1) % _Q, -1, _Q)) \
-                if z_challenge.value != 1 else Fr.one()
-            terms.append((z_poly, acc + l_1_z * alpha * alpha))
-            copy_acc = ((a_eval + beta * s_sigma_1_eval + gamma)
-                        * (b_eval + beta * s_sigma_2_eval + gamma)
-                        * (c_eval + beta * s_sigma_3_eval + gamma)
-                        * (beta * z_eval) * alpha)
-            terms.append((co["s_sigma_4"], -copy_acc))
-            # quotient recombination, scaled by -Z_H(z)
-            z_h = Fr((pow(z_challenge.value, n, _Q) - 1) % _Q)
-            neg_zh = -z_h
-            z_n = Fr(zn)
-            terms.append((t_low, neg_zh))
-            terms.append((t_mid, neg_zh * z_n))
-            terms.append((t_high, neg_zh * z_n * z_n))
-            terms.append((t_fourth, neg_zh * z_n * z_n * z_n))
-
-            lin_size = max(t.shape[-1] for t, _ in terms)
-            r_poly = dpoly.lin_comb(terms, lin_size)
-            pi_eval = compute_barycentric_eval(public_inputs, z_challenge,
-                                               domain)
-            r_poly = jnp.concatenate(
-                [lf.add(FR, r_poly[:, :1], dpoly.const_col(pi_eval.value)),
-                 r_poly[:, 1:]], axis=-1)
-
-            v = v_challenge
-            vs = [Fr.one()]
-            for _ in range(7):
-                vs.append(vs[-1] * v)
-            agg_terms = [(r_poly, vs[0]), (wire_polys[0], vs[1]),
-                         (wire_polys[1], vs[2]), (wire_polys[2], vs[3]),
-                         (wire_polys[3], vs[4]), (co["s_sigma_1"], vs[5]),
-                         (co["s_sigma_2"], vs[6]), (co["s_sigma_3"], vs[7])]
-            agg_size = max(t.shape[-1] for t, _ in agg_terms)
-            aggregate = dpoly.lin_comb(agg_terms, agg_size)
-            w_z = dpoly.ruffini_device(aggregate, z_challenge)
-
-            v_w_challenge = transcript.challenge_scalar(b"v_w_challenge")
-            vw = v_w_challenge
-            shift_terms = [(z_poly, Fr.one()), (wire_polys[0], vw),
-                           (wire_polys[1], vw * vw),
-                           (wire_polys[3], vw * vw * vw)]
-            shift_size = max(t.shape[-1] for t, _ in shift_terms)
-            shifted_agg = dpoly.lin_comb(shift_terms, shift_size)
-            w_zw = dpoly.ruffini_device(shifted_agg, shifted)
-
-            w_z_chall_comm, w_z_chall_w_comm = \
                 self.commit_key.commit_many_mont([w_z, w_zw], mesh=mesh,
                                                  axis=axis)
 
@@ -830,3 +715,4 @@ class Prover:
                       t_mid_comm, t_high_comm, t_fourth_comm, w_z_chall_comm,
                       w_z_chall_w_comm, evaluations)
         return proof, public_inputs
+
