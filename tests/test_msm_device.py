@@ -84,10 +84,33 @@ def test_affine_pair_add_edge_cases():
             assert got.to_affine() == expected, f"case {i}"
 
 
+def test_ptree_pipeline_direct():
+    """The projective halving-tree pipeline (ops/msm.py) pinned directly
+    against the host MSM at a size that exercises the levels, the reject
+    compaction and the scan tail (n=2048, c=10 -> half=512, 2 levels)."""
+    rng = random.Random(11)
+    n = 2048
+    points = _points(n, 11)
+    points[5] = points[4]  # duplicate point (doubling inside a bucket)
+    scalars = [Fr(rng.randrange(Fr.MODULUS)) for _ in range(n)]
+    scalars[7] = Fr.zero()
+    scalars[4] = scalars[5]
+
+    ctx = dmsm.MSMContext(points)
+    pts, _ = ctx._padded(n)
+    limbs = FR.to_raw_array([s.value for s in scalars])[None]
+    c = 10
+    sums = dmsm._msm_ptree_pipeline(c, *pts, limbs)
+    host = [np.asarray(t) for t in jax.device_get(sums)]
+    got = dmsm._host_window_fold(host, c, host[0].shape[0], 1, [n])[0]
+    assert got == msm_variable_base(points, scalars)
+
+
 @pytest.mark.parametrize("n", [4096])
 def test_tree_pipeline_matches_host(n):
-    """Full tree pipeline through MSMContext (threshold forces the tree
-    path at n >= 4096), with adversarial scalars mixed in."""
+    """MSMContext dispatch at 4096 (scan path; the halving tree is pinned
+    separately by test_ptree_pipeline_direct), adversarial scalars mixed
+    in."""
     rng = random.Random(99)
     points = _points(n, 99)
     scalars = [Fr(rng.getrandbits(260)) for _ in range(n - 8)]

@@ -64,6 +64,27 @@ def test_padd_pallas_matches_jnp():
         assert (np.asarray(g) == np.asarray(w)).all()
 
 
+def test_padd_pallas_ilp_matches_jnp():
+    """ILP-grouped kernel (stacked CIOS groups) bit-equal to the jnp padd,
+    including identity operands and doubling."""
+    n = 130
+    p = _rand_points(n)
+    q = _rand_points(n)
+    got = pallas_field.padd_pallas_ilp(p, q, block=128, interpret=True)
+    want = g1_ops._padd_jnp(p, q)
+    for g, w in zip(got, want):
+        assert (np.asarray(g) == np.asarray(w)).all()
+    ident = g1_ops.identity_batch((n,))
+    got_i = pallas_field.padd_pallas_ilp(p, ident, block=128, interpret=True)
+    want_i = g1_ops._padd_jnp(p, ident)
+    for g, w in zip(got_i, want_i):
+        assert (np.asarray(g) == np.asarray(w)).all()
+    got_d = pallas_field.padd_pallas_ilp(p, p, block=128, interpret=True)
+    want_d = g1_ops._padd_jnp(p, p)
+    for g, w in zip(got_d, want_d):
+        assert (np.asarray(g) == np.asarray(w)).all()
+
+
 def test_padd_pallas_identity_and_doubling():
     n = 128
     p = _rand_points(n)

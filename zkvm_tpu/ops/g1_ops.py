@@ -147,59 +147,82 @@ def device_to_projective(p, index=None) -> G1Projective:
 
 
 def batch_scalar_mul_base(base: G1Affine, scalars) -> list["G1Affine"]:
-    """[s_i * base] for many scalars: batched double-and-add on device.
+    """[s_i * base] for many scalars: windowed fixed-base on device.
 
-    255 masked-add + double steps over all lanes (data-oblivious); used by
-    the SRS setup (srs.rs slow_multiscalar_mul_single_base equivalent) where
-    the host loop would take minutes at 2^16.
+    The base is shared, so a host-precomputed table of d * (16^w * base)
+    (64 nibble windows x 16 digits, ~1k cheap host ops) turns each lane
+    into 64 unconditional table-lookup additions -- 8x fewer point adds
+    than the round-1 masked double-and-add (512 padds) and no selects
+    (digit 0 looks up the identity, which the complete padd absorbs).
+    Normalization (one Fermat z-inversion) stays on device; only the final
+    byte decode runs on host.  Used by the SRS setup (the srs.rs:50-63
+    slow_multiscalar_mul_single_base equivalent, minutes of host time at
+    2^16).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from ..fields import Fp, Fr
+    from ..fields import Fp
 
     n = len(scalars)
     if n == 0:
         return []
     pad = (-n) % 128  # lane alignment
-    bits_needed = 256
+    lanes = n + pad
 
     buf = b"".join(s.to_bytes() for s in scalars) + bytes(32 * pad)
-    bits = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8).reshape(n + pad, 32),
-        axis=1, bitorder="little").T.astype(bool)  # [256, n+pad]
+    byts = np.frombuffer(buf, dtype=np.uint8).reshape(lanes, 32)
+    digits = np.empty((lanes, 64), dtype=np.int32)
+    digits[:, 0::2] = byts & 0xF
+    digits[:, 1::2] = byts >> 4
+    digits = np.ascontiguousarray(digits.T)  # [64, lanes]
 
-    bx = lf.int_to_limbs(base.x.value * FQ.R % FQ.modulus, FQ.n_limbs)
-    by = lf.int_to_limbs(base.y.value * FQ.R % FQ.modulus, FQ.n_limbs)
-    one = np.asarray(FQ.one_mont)
+    # host table: [64, 24, 16] Montgomery coords of d * (16^w * base)
+    ident = G1Projective.identity()
+    tx = np.zeros((64, FQ.n_limbs, 16), dtype=np.uint32)
+    ty = np.zeros((64, FQ.n_limbs, 16), dtype=np.uint32)
+    tz = np.zeros((64, FQ.n_limbs, 16), dtype=np.uint32)
+    wbase = base.to_projective()
+    for w in range(64):
+        cur = ident
+        for d in range(16):
+            for limbs, coord in ((tx, cur.x), (ty, cur.y), (tz, cur.z)):
+                limbs[w, :, d] = lf.int_to_limbs(
+                    coord.value * FQ.R % FQ.modulus, FQ.n_limbs)
+            if d < 15:
+                cur = cur + wbase
+        for _ in range(4):
+            wbase = wbase.double()
 
     @jax.jit
-    def kernel(bits_arr):
-        lanes = bits_arr.shape[1]
-        px = jnp.broadcast_to(jnp.asarray(bx)[:, None],
-                              (FQ.n_limbs, lanes)).astype(jnp.uint32)
-        py = jnp.broadcast_to(jnp.asarray(by)[:, None],
-                              (FQ.n_limbs, lanes)).astype(jnp.uint32)
-        pz = jnp.broadcast_to(jnp.asarray(one)[:, None],
-                              (FQ.n_limbs, lanes)).astype(jnp.uint32)
-        acc = identity_batch((lanes,))
+    def kernel(tx_a, ty_a, tz_a, digit_rows):
+        acc = identity_batch((digit_rows.shape[1],))
 
-        def body(carry, bit_row):
-            acc, p = carry
-            added = padd(acc, p)
-            acc = pselect(bit_row, added, acc)
-            p = padd(p, p)
-            return (acc, p), None
+        def body(acc, row):
+            txw, tyw, tzw, dg = row
+            p = tuple(jnp.take(t, dg, axis=1) for t in (txw, tyw, tzw))
+            return padd(acc, p), None
 
-        (acc, _), _ = jax.lax.scan(body, (acc, (px, py, pz)), bits_arr)
-        return acc
+        acc, _ = jax.lax.scan(body, acc, (tx_a, ty_a, tz_a, digit_rows))
+        x, y, z = acc
+        zinv = _fermat_inv(z)  # zero (identity) stays zero
+        return lf.mont_mul(FQ, x, zinv), lf.mont_mul(FQ, y, zinv), z
 
-    res = kernel(jnp.asarray(bits[:bits_needed]))
-    host = [np.asarray(t) for t in jax.device_get(res)]
-    rinv = pow(FQ.R, -1, FQ.modulus)
+    ax, ay, z = kernel(jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(tz),
+                       jnp.asarray(digits))
+    xs = FQ.from_mont_array(ax)
+    ys = FQ.from_mont_array(ay)
+    inf = np.asarray(jax.device_get(lf.is_zero(FQ, z)))
     out = []
     for i in range(n):
-        coords = [lf.limbs_to_int(h[:, i]) * rinv % FQ.modulus for h in host]
-        out.append(G1Projective(Fp(coords[0]), Fp(coords[1]), Fp(coords[2])))
-    return G1Projective.batch_normalize(out)
+        out.append(G1Affine.identity() if inf[i]
+                   else G1Affine(Fp(xs[i]), Fp(ys[i])))
+    return out
+
+
+def _fermat_inv(t):
+    """Device Fermat inversion a^(p-2) over [L, B] (compact fori graph)."""
+    from .msm_tree import _mont_inv_fori
+
+    return _mont_inv_fori(t)

@@ -13,9 +13,13 @@ work):
   2. one stable device sort per window row by |digit| (dead lanes get a
      sentinel bucket and sort to the end);
   3. gather points by the sort permutation, negate where the digit < 0;
-  4. inclusive prefix sums of the sorted points via
-     `jax.lax.associative_scan` with the complete RCB15 addition as the
-     combiner (~1.5 N point adds, log N depth);
+  4. bucket accumulation of the sorted points -- two interchangeable
+     strategies sharing the same tail:
+       * scan (small N): inclusive prefix sums via
+         `jax.lax.associative_scan` with the complete RCB15 addition as
+         the combiner (~2.3 N point adds over up+down sweeps);
+       * halving tree (N >= PTREE_MIN_POINTS, `_msm_ptree_pipeline`):
+         ~1.0 N point adds -- see the block comment above it;
   5. bucket sums by difference of prefix values at bucket boundaries
      (boundaries from a vmapped binary search -- empty buckets cancel to
      the identity automatically);
@@ -116,6 +120,38 @@ def _signed_digit_tensors(limbs: jnp.ndarray, c: int):
     return jnp.stack(ds, axis=1)  # [S, W, N]
 
 
+def _scan_bucket_fold(sb, x, y, z, half):
+    """Bucket-sorted points -> weighted per-row window sums [B, L, 1].
+
+    sb [B, M] ascending bucket ids (sentinel > half sorts last); x/y/z
+    [B, L, M] projective Montgomery points.  Inclusive prefix scan ->
+    bucket sums as boundary differences (empty buckets cancel to the
+    identity) -> weighted fold  sum_b b*S_b = sum_j (suffix sums)  via a
+    reversed scan plus a binary reduction tree."""
+    b = sb.shape[0]
+    prefix = jax.lax.associative_scan(g1_ops.padd, (x, y, z), axis=2)
+    ident = g1_ops.identity_batch((b, 1))
+    pref = tuple(jnp.concatenate([i, t], axis=-1)
+                 for i, t in zip(ident, prefix))  # [B, L, M+1]
+
+    targets = jnp.arange(half + 1, dtype=jnp.int32)
+    cnt = jax.vmap(
+        lambda row: jnp.searchsorted(row, targets, side="right"))(sb)
+    take = lambda t, idx: jnp.take_along_axis(t, idx[:, None, :], axis=2)
+    hi = tuple(take(t, cnt[:, 1:]) for t in pref)
+    lo = tuple(take(t, cnt[:, :-1]) for t in pref)
+    buckets = g1_ops.padd(hi, g1_ops.pneg(lo))  # [B, L, half]
+
+    suf = jax.lax.associative_scan(g1_ops.padd, buckets, axis=2,
+                                   reverse=True)
+    m = half
+    while m > 1:
+        m //= 2
+        suf = g1_ops.padd(tuple(t[..., :m] for t in suf),
+                          tuple(t[..., m:] for t in suf))
+    return suf  # [B, L, 1]
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _msm_pipeline(c: int, px, py, pz, limbs):
     """points [24, N] Montgomery Fq limbs; limbs [S, 16, N] canonical
@@ -148,28 +184,159 @@ def _msm_pipeline(c: int, px, py, pz, limbs):
     z = jnp.moveaxis(jnp.take(pz, perm, axis=1), 0, 1)
     y = lf.select(neg, lf.neg(FQ, y), y)
 
-    prefix = jax.lax.associative_scan(g1_ops.padd, (x, y, z), axis=2)
-    ident = g1_ops.identity_batch((b, 1))
-    pref = tuple(jnp.concatenate([i, t], axis=-1)
-                 for i, t in zip(ident, prefix))  # [B, L, N+1]
+    return _scan_bucket_fold(sb, x, y, z, half)
 
-    targets = jnp.arange(half + 1, dtype=jnp.int32)
-    cnt = jax.vmap(
-        lambda row: jnp.searchsorted(row, targets, side="right"))(sb)
-    take = lambda t, idx: jnp.take_along_axis(t, idx[:, None, :], axis=2)
-    hi = tuple(take(t, cnt[:, 1:]) for t in pref)
-    lo = tuple(take(t, cnt[:, :-1]) for t in pref)
-    buckets = g1_ops.padd(hi, g1_ops.pneg(lo))  # [B, L, half]
 
-    # sum_b b*S_b = sum_j suffix_j: reversed scan + binary reduction tree
-    suf = jax.lax.associative_scan(g1_ops.padd, buckets, axis=2,
-                                   reverse=True)
-    m = half
-    while m > 1:
-        m //= 2
-        suf = g1_ops.padd(tuple(t[..., :m] for t in suf),
-                          tuple(t[..., m:] for t in suf))
-    return suf  # [B, L, 1]
+# -----------------------------------------------------------------------------
+# Halving-tree pipeline: the large-N replacement for the inclusive scan
+# -----------------------------------------------------------------------------
+#
+# The scan pipeline's prefix `associative_scan` performs ~2.3 complete point
+# additions per lane (up+down sweep).  The halving tree performs ~1.0: at
+# each level adjacent lanes merge with ONE complete padd where they share a
+# bucket id; the lane that cannot merge (the left of a bucket-boundary pair,
+# at most one per bucket per level) is compacted into a `half`-sized reject
+# slot by a cheap u32 key sort.  After log2(N/half) levels the residual plus
+# all rejects (~(levels+1)*half lanes, ~N/8 at the sizes that matter) feed
+# the ordinary scan/boundary/fold tail.  An earlier batch-AFFINE variant
+# (ops/msm_tree.py) lost to the scan because its per-level shared inversions
+# cost two full-length Montgomery scans each; projective pallas adds need no
+# inversions.  Reference semantics: multiscalar_mul.rs:143-220.
+
+# MEASURED (round 3, one v5e): the tree loses below ~2^14 -- its per-level
+# reject sorts/gathers outweigh the saved scan padds when the level count
+# is shallow (37k points/s @2^13 vs the scan's 44k).
+PTREE_MIN_POINTS = 1 << 14
+
+
+def _ptree_window_bits(n: int) -> int:
+    """Tree window width: total work ~ ceil(260/c)*N is minimized by large
+    c, but 2^(c-1) buckets must stay << N for the halving levels to bite
+    (rejects ~ levels * 2^(c-1) feed a scan-based tail)."""
+    if n >= (1 << 16):
+        return 11
+    return 10
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _msm_ptree_pipeline(c: int, px, py, pz, limbs):
+    """Same contract as _msm_pipeline, halving-tree bucket accumulation."""
+    s, _, n = limbs.shape
+    half = 1 << (c - 1)
+    sent = half + 1
+    d = _signed_digit_tensors(limbs, c)
+    w_count = d.shape[1]
+    b = s * w_count
+    dflat = d.reshape(b, n)
+
+    pinf = jnp.all(pz == 0, axis=0)  # [N]
+    bucket = jnp.where(dflat == 0, sent, jnp.abs(dflat))
+    bucket = jnp.where(pinf[None, :], sent, bucket)
+
+    idx_bits = max(n - 1, 1).bit_length()
+    assert (sent << idx_bits) < (1 << 31)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    packed = jax.lax.sort((bucket.astype(jnp.int32) << idx_bits) | iota,
+                          dimension=-1)
+    sid = packed >> idx_bits
+    perm = packed & ((1 << idx_bits) - 1)
+    dsort = jnp.take_along_axis(dflat, perm, axis=1)
+
+    x = jnp.moveaxis(jnp.take(px, perm, axis=1), 0, 1)  # [B, 24, N]
+    y = jnp.moveaxis(jnp.take(py, perm, axis=1), 0, 1)
+    z = jnp.moveaxis(jnp.take(pz, perm, axis=1), 0, 1)
+    y = lf.select(dsort < 0, lf.neg(FQ, y), y)
+
+    one_col = jnp.asarray(np.asarray(FQ.one_mont, dtype=np.uint32))[:, None]
+
+    def park_identity(mask, xs, ys, zs):
+        """Sentinel lanes become the identity (0 : 1 : 0) so tree merges of
+        dead lanes stay the identity."""
+        zero = jnp.zeros_like(xs)
+        return (lf.select(mask, zero, xs),
+                lf.select(mask, jnp.broadcast_to(one_col, ys.shape), ys),
+                lf.select(mask, zero, zs))
+
+    x, y, z = park_identity(sid >= sent, x, y, z)
+
+    two_adic = (n & -n).bit_length() - 1
+    levels = min(max(0, (n // half).bit_length() - 1), two_adic)
+    parts_sid, parts_x, parts_y, parts_z = [], [], [], []
+
+    for _ in range(levels):
+        m = x.shape[-1] // 2
+        xl, yl, zl = x[..., 0::2], y[..., 0::2], z[..., 0::2]
+        xr, yr, zr = x[..., 1::2], y[..., 1::2], z[..., 1::2]
+        sl, sr = sid[:, 0::2], sid[:, 1::2]
+        same = sl == sr
+        x3, y3, z3 = g1_ops.padd((xl, yl, zl), (xr, yr, zr))
+        x = lf.select(same, x3, xr)
+        y = lf.select(same, y3, yr)
+        z = lf.select(same, z3, zr)
+        sid = sr
+        # rejects: the left of every bucket-boundary pair.  Within a level
+        # their bucket ids are pairwise distinct (the array is sorted and
+        # only one pair straddles each bucket boundary), so at most `half`
+        # are real: one u32 key sort compacts them into `half` slots.
+        rsid = jnp.where(same, sent, sl)
+        if m > half:
+            pos_bits = max(m - 1, 1).bit_length()
+            riota = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m))
+            rpacked = jax.lax.sort(
+                (rsid.astype(jnp.int32) << pos_bits) | riota,
+                dimension=-1)[:, :half]
+            rs = rpacked >> pos_bits
+            rp = rpacked & ((1 << pos_bits) - 1)
+            gidx = rp[:, None, :]
+            gx = jnp.take_along_axis(xl, gidx, axis=2)
+            gy = jnp.take_along_axis(yl, gidx, axis=2)
+            gz = jnp.take_along_axis(zl, gidx, axis=2)
+        else:
+            pad = [(0, 0), (0, half - m)]
+            rs = jnp.pad(rsid, pad, constant_values=sent)
+            padt = [(0, 0), (0, 0), (0, half - m)]
+            gx, gy, gz = (jnp.pad(t, padt) for t in (xl, yl, zl))
+        gx, gy, gz = park_identity(rs >= sent, gx, gy, gz)
+        parts_sid.append(rs)
+        parts_x.append(gx)
+        parts_y.append(gy)
+        parts_z.append(gz)
+
+    parts_sid.append(sid)
+    parts_x.append(x)
+    parts_y.append(y)
+    parts_z.append(z)
+
+    csid = jnp.concatenate(parts_sid, axis=-1)
+    cx = jnp.concatenate(parts_x, axis=-1)
+    cy = jnp.concatenate(parts_y, axis=-1)
+    cz = jnp.concatenate(parts_z, axis=-1)
+    m_tot = csid.shape[-1]
+    pad = (-m_tot) % 128
+    if pad:
+        csid = jnp.pad(csid, [(0, 0), (0, pad)], constant_values=sent)
+        padt = [(0, 0), (0, 0), (0, pad)]
+        cx = jnp.pad(cx, padt)
+        cy = jnp.pad(cy, padt,
+                     constant_values=0)  # parked to identity below
+        cz = jnp.pad(cz, padt)
+        m_tot += pad
+
+    # final bucket sort of the combined array (ids may repeat across parts;
+    # the scan tail handles arbitrary sorted multiplicity)
+    pos_bits = max(m_tot - 1, 1).bit_length()
+    ciota = jnp.broadcast_to(jnp.arange(m_tot, dtype=jnp.int32), (b, m_tot))
+    cpacked = jax.lax.sort((csid.astype(jnp.int32) << pos_bits) | ciota,
+                           dimension=-1)
+    ss = cpacked >> pos_bits
+    pp = cpacked & ((1 << pos_bits) - 1)
+    gidx = pp[:, None, :]
+    sx = jnp.take_along_axis(cx, gidx, axis=2)
+    sy = jnp.take_along_axis(cy, gidx, axis=2)
+    sz = jnp.take_along_axis(cz, gidx, axis=2)
+    sx, sy, sz = park_identity(ss >= sent, sx, sy, sz)
+
+    return _scan_bucket_fold(ss, sx, sy, sz, half)
 
 
 def _host_window_fold(sums_host, c: int, w_count: int, n_sets: int,
@@ -308,13 +475,10 @@ class MSMContext:
         return ent
 
     def _run(self, limbs, sizes, n_pad) -> list[G1Projective]:
-        from . import msm_tree
-
-        pts, pinf = self._padded(n_pad)
-        if n_pad >= msm_tree.TREE_MIN_POINTS:
-            c = msm_tree.TREE_WINDOW_BITS
-            sums = msm_tree._msm_tree_pipeline(c, pts[0], pts[1], pinf,
-                                               limbs)
+        pts, _ = self._padded(n_pad)
+        if n_pad >= PTREE_MIN_POINTS:
+            c = _ptree_window_bits(n_pad)
+            sums = _msm_ptree_pipeline(c, *pts, limbs)
         else:
             c = _window_bits(n_pad)
             sums = _msm_pipeline(c, *pts, limbs)

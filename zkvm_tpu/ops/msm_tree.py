@@ -44,13 +44,15 @@ from .limb_field import FQ
 # longer quadratic-ish in 2^c, and fewer buckets make the reject bound (and
 # the final combined array) small.
 #
-# MEASURED (round 3, one v5e chip): the tree path is SLOWER than the scan
-# pipeline at every size tried -- 16.6k points/s @2^13 (scan: 46k) and
-# 35.4k @2^16 (scan: 85k).  The halving levels save projective adds but pay
-# two full-length Montgomery-product scans per batched inversion plus a
+# MEASURED (round 3, one v5e chip): the batch-AFFINE tree is SLOWER than
+# the scan pipeline at every size tried -- 16.6k points/s @2^13 (scan: 46k)
+# and 35.4k @2^16 (scan: 85k).  The halving levels save projective adds but
+# pay two full-length Montgomery-product scans per batched inversion plus a
 # reject-compaction sort per level, which together exceed the saved padd
-# work.  Kept as an opt-in experiment (set TREE_MIN_POINTS lower to enable);
-# the default path is the round-2 scan pipeline.
+# work.  Kept as an opt-in experiment (set TREE_MIN_POINTS lower to
+# enable); the production successor is the PROJECTIVE halving tree in
+# ops/msm.py (`_msm_ptree_pipeline`): same reject/compaction structure, no
+# inversions -- the per-level cost is exactly one complete pallas padd.
 TREE_WINDOW_BITS = 10
 TREE_MIN_POINTS = 1 << 62
 

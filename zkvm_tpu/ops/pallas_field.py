@@ -367,6 +367,136 @@ def padd_pallas(p, q, block: int = 1024, interpret: bool = False):
 
 
 # -----------------------------------------------------------------------------
+# ILP-grouped G1 addition: batch independent Montgomery products
+# -----------------------------------------------------------------------------
+#
+# The serial-kernel padd issues its 14 CIOS multiplies one after another;
+# every fori step's accumulator rebuild depends on the previous step, so the
+# VPU stalls on the dependency chain.  RCB15's multiply DAG has width >= 2
+# throughout: grouped as 3+3+2+3+3 stacked multiplies ([G, L, B] operands
+# through one shared fori loop) the chain amortizes over G independent
+# lanes-groups.
+
+def _mont_mul_scr_m(spec, a, b, scr, p_col):
+    """CIOS Montgomery product over stacked [G, L, B] operand groups.
+
+    Same algorithm as `_mont_mul_scr`; `scr` is a [G_max, L, B] VMEM ref
+    staging b's limbs (G <= G_max; only the first G rows are used)."""
+    import jax
+
+    l = spec.n_limbs
+    g = a.shape[0]
+    np0 = int(spec.nprime & LIMB_MASK)
+    scr[pl.ds(0, g)] = b
+    zeros1 = jnp.zeros(a.shape[:-2] + (1,) + a.shape[-1:], dtype=jnp.uint32)
+    cat = functools.partial(jnp.concatenate, axis=-2)
+
+    def body(j, acc):
+        bj = scr[pl.ds(0, g), pl.ds(j, 1), :]
+        pa = a * bj
+        m = (((acc[..., 0:1, :] + pa[..., 0:1, :]) & LIMB_MASK) * np0) \
+            & LIMB_MASK
+        mp = m * p_col
+        lo = (pa & LIMB_MASK) + (mp & LIMB_MASK)
+        hi = (pa >> LIMB_BITS) + (mp >> LIMB_BITS)
+        acc = acc + cat([lo, zeros1]) + cat([zeros1, hi])
+        carry = acc[..., 0:1, :] >> LIMB_BITS
+        return cat([acc[..., 1:2, :] + carry, acc[..., 2:, :], zeros1])
+
+    acc0 = jnp.zeros(a.shape[:-2] + (l + 1,) + a.shape[-1:],
+                     dtype=jnp.uint32)
+    acc = jax.lax.fori_loop(0, l, body, acc0)
+
+    # normalize: carry sweep to L+1 limbs, then one conditional subtract
+    outs = []
+    carry = jnp.zeros_like(acc[..., 0:1, :])
+    for k in range(l + 1):
+        v = acc[..., k:k + 1, :] + carry
+        outs.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    s = jnp.concatenate(outs, axis=-2)
+    carry_set = s[..., l, :] > 0
+    body_limbs = s[..., :l, :]
+    pi32 = p_col.astype(jnp.int32)
+    douts = []
+    borrow = jnp.zeros_like(body_limbs[..., 0:1, :], dtype=jnp.int32)
+    for k in range(l):
+        v = body_limbs[..., k:k + 1, :].astype(jnp.int32) \
+            - pi32[k:k + 1] - borrow
+        douts.append((v & LIMB_MASK).astype(jnp.uint32))
+        borrow = (v >> LIMB_BITS) & 1
+    diff = jnp.concatenate(douts, axis=-2)
+    under = (borrow > 0)[..., 0, :]
+    need = carry_set | ~under
+    return jnp.where(need[..., None, :], diff, body_limbs)
+
+
+def _padd_kernel_ilp(p_r, b3_r, x1r, y1r, z1r, x2r, y2r, z2r,
+                     x3r, y3r, z3r, scr):
+    p_col = p_r[:]
+    b3_col = b3_r[:]
+    add = lambda a, b: _add_k(FQ, a, b)
+    sub = lambda a, b: _sub_k(FQ, a, b, p_col)
+
+    def mul_group(pairs):
+        a = jnp.stack([p[0] for p in pairs])
+        b = jnp.stack([p[1] for p in pairs])
+        r = _mont_mul_scr_m(FQ, a, b, scr, p_col)
+        return tuple(r[i] for i in range(len(pairs)))
+
+    x1, y1, z1 = x1r[0], y1r[0], z1r[0]
+    x2, y2, z2 = x2r[0], y2r[0], z2r[0]
+    t0, t1, t2 = mul_group([(x1, x2), (y1, y2), (z1, z2)])
+    t3, t4, t5 = mul_group([(add(x1, y1), add(x2, y2)),
+                            (add(y1, z1), add(y2, z2)),
+                            (add(x1, z1), add(x2, z2))])
+    t3 = sub(sub(t3, t0), t1)
+    t4 = sub(sub(t4, t1), t2)
+    t5 = sub(sub(t5, t0), t2)
+    b3b = jnp.broadcast_to(b3_col, t2.shape)
+    t6, y3 = mul_group([(t2, b3b), (t5, b3b)])
+    z3 = add(t1, t6)
+    t1 = sub(t1, t6)
+    t0_3 = add(add(t0, t0), t0)
+    u1, u2, u3 = mul_group([(t3, t1), (t4, y3), (t1, z3)])
+    u4, u5, u6 = mul_group([(y3, t0_3), (z3, t4), (t0_3, t3)])
+    x3r[0] = sub(u1, u2)
+    y3r[0] = add(u3, u4)
+    z3r[0] = add(u5, u6)
+
+
+def padd_pallas_ilp(p, q, block: int = 1024, interpret: bool = False):
+    """`padd_pallas` with the ILP-grouped kernel (bit-identical results)."""
+    shape = p[0].shape
+    lead = shape[:-2]
+    b = shape[-1]
+    if b == 0 or any(s == 0 for s in lead):
+        return p
+    block = min(block, max(128, -(-b // 128) * 128))
+    flat = [t.reshape((-1,) + shape[-2:]) for t in (*p, *q)]
+    w = flat[0].shape[0]
+    if b % block:
+        pad = block - b % block
+        flat = [jnp.pad(t, [(0, 0), (0, 0), (0, pad)]) for t in flat]
+    bb = flat[0].shape[-1]
+    nb = bb // block
+    spec = pl.BlockSpec((1, FQ.n_limbs, block), lambda i, j: (i, 0, j))
+    p_arr = jnp.asarray(np.asarray(FQ.p_limbs, dtype=np.uint32))[:, None]
+    b3_arr = jnp.asarray(np.asarray(_B3_LIMBS, dtype=np.uint32))[:, None]
+    cspec = pl.BlockSpec((FQ.n_limbs, 1), lambda i, j: (0, 0))
+    out = pl.pallas_call(
+        _padd_kernel_ilp,
+        grid=(w, nb),
+        in_specs=[cspec, cspec] + [spec] * 6,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct(flat[0].shape, jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((3, FQ.n_limbs, block), jnp.uint32)],
+        interpret=interpret,
+    )(p_arr, b3_arr, *flat)
+    return tuple(t[..., :b].reshape(shape) for t in out)
+
+
+# -----------------------------------------------------------------------------
 # NTT butterfly kernel: one fused (mul, add, sub) stage over [L, B] lanes
 # -----------------------------------------------------------------------------
 
