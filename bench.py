@@ -1,8 +1,8 @@
 """Benchmark entry point: prints ONE JSON line with the headline metric.
 
 Headline: G1 Pippenger MSM throughput (points/sec) on the attached chip at
-2^14 points -- the dominant cost of KZG commitments and hence of the whole
-PLONK prover (BASELINE.json north-star config #3).
+2^16 points -- the BASELINE.json north-star config (KZG commitments at the
+2^16-gate flagship scale dominate the PLONK prover).
 
 The reference publishes no numbers (BASELINE.md); vs_baseline compares
 against the pure-python host MSM on this machine (the reference's algorithm,
@@ -28,7 +28,7 @@ def main():
             only = sys.argv[sys.argv.index("--only") + 1].split(",")
         run_all(only)
         return
-    n = 1 << 13
+    n = 1 << 16
     rng = random.Random(42)
 
     from zkvm_tpu.curves.g1 import G1Affine, G1Projective
@@ -67,7 +67,7 @@ def main():
     assert ctx.msm(scalars[:m]) == host_part, "device MSM mismatch"
 
     print(json.dumps({
-        "metric": "msm_g1_points_per_sec_2^13",
+        "metric": "msm_g1_points_per_sec_2^16",
         "value": round(device_pps, 1),
         "unit": "points/s",
         "vs_baseline": round(device_pps / host_pps, 3),

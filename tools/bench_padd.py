@@ -34,11 +34,23 @@ Q = tuple(jnp.moveaxis(jnp.take(t, jnp.asarray(idx2), axis=1), 0, 1)
 P = jax.block_until_ready(P)
 Q = jax.block_until_ready(Q)
 
-for name, fn in (("serial", pf.padd_pallas), ("ilp", pf.padd_pallas_ilp)):
+ref = None
+variants = (("serial", pf.padd_pallas), ("ilp", pf.padd_pallas_ilp),
+            ("2l", pf.padd_pallas_2l), ("ilp2l", pf.padd_pallas_ilp2l))
+only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+for name, fn in variants:
+    if only and name not in only:
+        continue
     f = jax.jit(lambda p, q, fn=fn: fn(p, q, block=block))
     t0 = time.monotonic()
     out = jax.block_until_ready(f(P, Q))
     print(f"{name} first: {time.monotonic()-t0:.1f}s", flush=True)
+    if ref is None:
+        ref = [np.asarray(jax.device_get(t[:, :, :64])) for t in out]
+    else:
+        got = [np.asarray(jax.device_get(t[:, :, :64])) for t in out]
+        assert all((g == r).all() for g, r in zip(got, ref)), \
+            f"{name} mismatch vs serial"
     jax.device_get(out[0][0, 0, 0])
     reps = 5
     t0 = time.monotonic()

@@ -25,8 +25,8 @@ work):
      the identity automatically);
   6. weighted fold  sum_b b*S_b = sum_j (suffix sums)  via a reversed
      associative scan over the bucket axis plus a binary reduction tree;
-  7. host: fold the ~W window sums with c doublings each (one bulk
-     transfer per call).
+  7. fold the ~W window sums with c doublings each -- a device lax.scan on
+     TPU (one S-point transfer per call), host bigints elsewhere.
 
 Shapes depend only on (N, S, c), so one jit specialization serves all
 inputs of a padded size class.  Correctness is pinned against the host
@@ -120,16 +120,129 @@ def _signed_digit_tensors(limbs: jnp.ndarray, c: int):
     return jnp.stack(ds, axis=1)  # [S, W, N]
 
 
-def _scan_bucket_fold(sb, x, y, z, half):
-    """Bucket-sorted points -> weighted per-row window sums [B, L, 1].
+def _lean_scan_enabled() -> bool:
+    """Compile-lean combiner scans off-TPU (override: ZKVM_LEAN_SCAN=0/1).
+
+    `associative_scan` inlines the complete-padd combiner at every one of
+    its ~2*log2(M) levels; on the driver's 1-core CPU dryrun each MSM
+    program then takes minutes of XLA compile (round 3 timed out on
+    exactly this).  The lean variants trade a log-factor of extra point
+    adds -- irrelevant at test/dryrun scale -- for a single compiled padd
+    site per scan."""
+    import os
+
+    env = os.environ.get("ZKVM_LEAN_SCAN")
+    if env is not None:
+        return env != "0"
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True
+
+
+def _lanes_first(t):
+    """[..., L, M] triple -> [M, ..., L, 1] (one lane per scan step)."""
+    return tuple(jnp.moveaxis(c, -1, 0)[..., None] for c in t)
+
+
+def _lanes_last(t):
+    """Inverse of `_lanes_first`."""
+    return tuple(jnp.moveaxis(c[..., 0], 0, -1) for c in t)
+
+
+def _scan_padd(t, reverse: bool = False):
+    """Inclusive prefix (suffix when `reverse`) scan of complete padds over
+    the last axis of an [..., L, M] point triple.  TPU: associative_scan
+    (log-depth, ~2M point adds, full lane parallelism).  Elsewhere: ONE
+    sequential lax.scan over lanes -- M point adds (work-optimal) and a
+    single compiled padd site, which is what the 1-core CPU dryrun and the
+    CPU test suite are bound by."""
+    m = t[0].shape[-1]
+    if m <= 1:
+        return t
+    if not _lean_scan_enabled():
+        return jax.lax.associative_scan(g1_ops.padd, t, axis=t[0].ndim - 1,
+                                        reverse=reverse)
+    xs = _lanes_first(t)
+    if reverse:
+        xs = tuple(c[::-1] for c in xs)
+    carry0 = g1_ops.identity_batch(t[0].shape[:-2] + (1,))
+
+    def body(carry, lane):
+        nxt = g1_ops.padd(carry, lane)
+        return nxt, nxt
+
+    _, ys = jax.lax.scan(body, carry0, xs)
+    if reverse:
+        ys = tuple(c[::-1] for c in ys)
+    return _lanes_last(ys)
+
+
+def _reduce_padd_lanes(t):
+    """Fold an [..., L, M] point triple to [..., L, 1] (sum of all lanes).
+
+    TPU: unrolled binary halving tree (log2(M) padd dispatches, full lane
+    parallelism).  Elsewhere: one sequential lax.scan (M adds, one site)."""
+    m = t[0].shape[-1]
+    if not _lean_scan_enabled():
+        while m > 1:
+            m //= 2
+            t = g1_ops.padd(tuple(c[..., :m] for c in t),
+                            tuple(c[..., m:] for c in t))
+        return t
+    if m <= 1:
+        return t
+    carry0 = g1_ops.identity_batch(t[0].shape[:-2] + (1,))
+
+    def body(carry, lane):
+        return g1_ops.padd(carry, lane), None
+
+    out, _ = jax.lax.scan(body, carry0, _lanes_first(t))
+    return out
+
+
+def _combine_gathered(gathered):
+    """Sum a [D, ...] all_gather of window-sum triples over axis 0 with one
+    compiled padd site (a lax.scan; D is small)."""
+    head = tuple(t[0] for t in gathered)
+    rest = tuple(t[1:] for t in gathered)
+
+    def body(acc, p):
+        return g1_ops.padd(acc, p), None
+
+    total, _ = jax.lax.scan(body, head, rest)
+    return total
+
+
+def _sharded_local_msm(c, axis, n_dev, px, py, pz, lmb):
+    sums = _msm_pipeline(c, px[0], py[0], pz[0], lmb[0])
+    gathered = [jax.lax.all_gather(t, axis, axis=0) for t in sums]
+    return _combine_gathered(gathered)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_jit(mesh, axis: str, c: int):
+    """One jitted shard_map MSM program per (mesh, axis, window) -- rebuilding
+    the closure per call would retrace (seconds) on every commit."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = functools.partial(_sharded_local_msm, c, axis, mesh.devices.size)
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()), check_vma=False))
+
+
+def _bucket_sums_dense(sb, x, y, z, half):
+    """Bucket-sorted points -> dense bucket sums [B, L, half].
 
     sb [B, M] ascending bucket ids (sentinel > half sorts last); x/y/z
     [B, L, M] projective Montgomery points.  Inclusive prefix scan ->
     bucket sums as boundary differences (empty buckets cancel to the
-    identity) -> weighted fold  sum_b b*S_b = sum_j (suffix sums)  via a
-    reversed scan plus a binary reduction tree."""
+    identity); slot k holds the sum of bucket k+1."""
     b = sb.shape[0]
-    prefix = jax.lax.associative_scan(g1_ops.padd, (x, y, z), axis=2)
+    prefix = _scan_padd((x, y, z))
     ident = g1_ops.identity_batch((b, 1))
     pref = tuple(jnp.concatenate([i, t], axis=-1)
                  for i, t in zip(ident, prefix))  # [B, L, M+1]
@@ -140,16 +253,40 @@ def _scan_bucket_fold(sb, x, y, z, half):
     take = lambda t, idx: jnp.take_along_axis(t, idx[:, None, :], axis=2)
     hi = tuple(take(t, cnt[:, 1:]) for t in pref)
     lo = tuple(take(t, cnt[:, :-1]) for t in pref)
-    buckets = g1_ops.padd(hi, g1_ops.pneg(lo))  # [B, L, half]
+    return g1_ops.padd(hi, g1_ops.pneg(lo))  # [B, L, half]
 
-    suf = jax.lax.associative_scan(g1_ops.padd, buckets, axis=2,
-                                   reverse=True)
-    m = half
-    while m > 1:
-        m //= 2
-        suf = g1_ops.padd(tuple(t[..., :m] for t in suf),
-                          tuple(t[..., m:] for t in suf))
-    return suf  # [B, L, 1]
+
+def _scatter_dense(rs, coords, half):
+    """Rows of DISTINCT sorted bucket ids -> dense [B, L, half] slots.
+
+    rs [B, half] ascending ids in [1, half] with sentinel padding; coords
+    [B, L, half] points (sentinel lanes parked at the identity).  Each
+    real id appears at most once per row, so slot k is a binary-search
+    gather of bucket k+1 (identity when absent) -- no scan needed."""
+    targets = jnp.arange(1, half + 1, dtype=jnp.int32)
+    pos = jax.vmap(lambda row: jnp.searchsorted(row, targets))(rs)
+    idx = jnp.minimum(pos, half - 1)
+    found = jnp.take_along_axis(rs, idx, axis=1) == targets[None, :]
+    out = tuple(jnp.take_along_axis(t, idx[:, None, :], axis=2)
+                for t in coords)
+    zero = jnp.zeros_like(out[0])
+    one = jnp.broadcast_to(
+        jnp.asarray(np.asarray(FQ.one_mont, dtype=np.uint32))[:, None],
+        out[1].shape)
+    return (lf.select(found, out[0], zero), lf.select(found, out[1], one),
+            lf.select(found, out[2], zero))
+
+
+def _weighted_fold(buckets):
+    """Dense bucket sums [B, L, half] -> sum_b (b+1)*S_b as [B, L, 1] via
+    suffix sums (reversed scan) plus a lane reduction."""
+    suf = _scan_padd(buckets, reverse=True)
+    return _reduce_padd_lanes(suf)
+
+
+def _scan_bucket_fold(sb, x, y, z, half):
+    """Bucket-sorted points -> weighted per-row window sums [B, L, 1]."""
+    return _weighted_fold(_bucket_sums_dense(sb, x, y, z, half))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -279,64 +416,91 @@ def _msm_ptree_pipeline(c: int, px, py, pz, limbs):
         # only one pair straddles each bucket boundary), so at most `half`
         # are real: one u32 key sort compacts them into `half` slots.
         rsid = jnp.where(same, sent, sl)
-        if m > half:
-            pos_bits = max(m - 1, 1).bit_length()
-            riota = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m))
-            rpacked = jax.lax.sort(
-                (rsid.astype(jnp.int32) << pos_bits) | riota,
-                dimension=-1)[:, :half]
-            rs = rpacked >> pos_bits
-            rp = rpacked & ((1 << pos_bits) - 1)
-            gidx = rp[:, None, :]
-            gx = jnp.take_along_axis(xl, gidx, axis=2)
-            gy = jnp.take_along_axis(yl, gidx, axis=2)
-            gz = jnp.take_along_axis(zl, gidx, axis=2)
-        else:
-            pad = [(0, 0), (0, half - m)]
-            rs = jnp.pad(rsid, pad, constant_values=sent)
+        if m < half:
+            rsid = jnp.pad(rsid, [(0, 0), (0, half - m)],
+                           constant_values=sent)
             padt = [(0, 0), (0, 0), (0, half - m)]
-            gx, gy, gz = (jnp.pad(t, padt) for t in (xl, yl, zl))
+            xl, yl, zl = (jnp.pad(t, padt) for t in (xl, yl, zl))
+            m = half
+        # compact AND sort ascending (the dense-scatter tail binary-searches
+        # each reject row, so rows must stay sorted)
+        pos_bits = max(m - 1, 1).bit_length()
+        riota = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m))
+        rpacked = jax.lax.sort(
+            (rsid.astype(jnp.int32) << pos_bits) | riota,
+            dimension=-1)[:, :half]
+        rs = rpacked >> pos_bits
+        rp = rpacked & ((1 << pos_bits) - 1)
+        gidx = rp[:, None, :]
+        gx = jnp.take_along_axis(xl, gidx, axis=2)
+        gy = jnp.take_along_axis(yl, gidx, axis=2)
+        gz = jnp.take_along_axis(zl, gidx, axis=2)
         gx, gy, gz = park_identity(rs >= sent, gx, gy, gz)
         parts_sid.append(rs)
         parts_x.append(gx)
         parts_y.append(gy)
         parts_z.append(gz)
 
-    parts_sid.append(sid)
-    parts_x.append(x)
-    parts_y.append(y)
-    parts_z.append(z)
+    # tail: the residual array (duplicate ids possible) goes through the
+    # scan/boundary path over `half` lanes; each level's rejects have
+    # DISTINCT ids per row, so they scatter straight into dense slots (a
+    # binary-search gather) and fold in with one padd per level -- no
+    # combined re-sort, and the only remaining scan is half-sized.
+    buckets = _bucket_sums_dense(sid, x, y, z, half)
+    for rs, gx, gy, gz in zip(parts_sid, parts_x, parts_y, parts_z):
+        dense = _scatter_dense(rs, (gx, gy, gz), half)
+        buckets = g1_ops.padd(buckets, dense)
+    return _weighted_fold(buckets)
 
-    csid = jnp.concatenate(parts_sid, axis=-1)
-    cx = jnp.concatenate(parts_x, axis=-1)
-    cy = jnp.concatenate(parts_y, axis=-1)
-    cz = jnp.concatenate(parts_z, axis=-1)
-    m_tot = csid.shape[-1]
-    pad = (-m_tot) % 128
-    if pad:
-        csid = jnp.pad(csid, [(0, 0), (0, pad)], constant_values=sent)
-        padt = [(0, 0), (0, 0), (0, pad)]
-        cx = jnp.pad(cx, padt)
-        cy = jnp.pad(cy, padt,
-                     constant_values=0)  # parked to identity below
-        cz = jnp.pad(cz, padt)
-        m_tot += pad
 
-    # final bucket sort of the combined array (ids may repeat across parts;
-    # the scan tail handles arbitrary sorted multiplicity)
-    pos_bits = max(m_tot - 1, 1).bit_length()
-    ciota = jnp.broadcast_to(jnp.arange(m_tot, dtype=jnp.int32), (b, m_tot))
-    cpacked = jax.lax.sort((csid.astype(jnp.int32) << pos_bits) | ciota,
-                           dimension=-1)
-    ss = cpacked >> pos_bits
-    pp = cpacked & ((1 << pos_bits) - 1)
-    gidx = pp[:, None, :]
-    sx = jnp.take_along_axis(cx, gidx, axis=2)
-    sy = jnp.take_along_axis(cy, gidx, axis=2)
-    sz = jnp.take_along_axis(cz, gidx, axis=2)
-    sx, sy, sz = park_identity(ss >= sent, sx, sy, sz)
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _window_fold_device(c: int, w_count: int, n_sets: int, x, y, z):
+    """Fold [S*W, L, 1] window sums into one point per set ON DEVICE.
 
-    return _scan_bucket_fold(ss, sx, sy, sz, half)
+    total = sum_w 2^(c*w) * S_w via the classic highest-window-first
+    double-and-add: one lax.scan whose body does c complete doublings plus
+    one add over [L, S] lanes -- ~W*(c+1) tiny pallas launches inside one
+    program instead of the same chain as ~50ms of host bigint point ops
+    per commit batch (plus it shrinks the device->host transfer to S
+    points)."""
+    t = tuple(jnp.transpose(a.reshape(n_sets, w_count, FQ.n_limbs), (1, 2, 0))
+              for a in (x, y, z))  # [W, L, S]
+    rev = tuple(a[::-1] for a in t)
+    acc0 = g1_ops.identity_batch((n_sets,))
+
+    def body(acc, row):
+        for _ in range(c):
+            acc = g1_ops.pdouble(acc)
+        return g1_ops.padd(acc, row), None
+
+    acc, _ = jax.lax.scan(body, acc0, rev)
+    return acc  # ([L, S],) * 3
+
+
+def _fold_windows(sums, c: int, n_sets: int,
+                  set_sizes) -> list[G1Projective]:
+    """Window fold + host decode.  TPU: on-device scan (see
+    `_window_fold_device`); elsewhere the host bigint chain (identical
+    group element either way, and the device scan would dominate the
+    1-core CPU dryrun's compile budget)."""
+    from . import pallas_field
+
+    w_count = sums[0].shape[0] // n_sets
+    if pallas_field._on_tpu():
+        acc = _window_fold_device(c, w_count, n_sets, *sums)
+        xs, ys, zs = (np.asarray(jax.device_get(t)) for t in acc)
+        rinv = pow(FQ.R, -1, FQ.modulus)
+        out = []
+        for s_i in range(n_sets):
+            if not set_sizes[s_i]:
+                out.append(G1Projective.identity())
+                continue
+            cx, cy, cz = (lf.limbs_to_int(t[:, s_i]) * rinv % FQ.modulus
+                          for t in (xs, ys, zs))
+            out.append(G1Projective(Fp(cx), Fp(cy), Fp(cz)))
+        return out
+    host = [np.asarray(t) for t in jax.device_get(sums)]
+    return _host_window_fold(host, c, w_count, n_sets, set_sizes)
 
 
 def _host_window_fold(sums_host, c: int, w_count: int, n_sets: int,
@@ -426,9 +590,6 @@ class MSMContext:
 
     def _run_sharded(self, coeff_tensors, sizes, mesh,
                      axis: str) -> list[G1Projective]:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
         n_dev = mesh.devices.size
         shard = _granule(-(-max(sizes) // n_dev))
         n_pad = shard * n_dev
@@ -443,22 +604,16 @@ class MSMContext:
         limbs = jnp.stack(
             [limbs[:, :, d * shard:(d + 1) * shard] for d in range(n_dev)])
 
-        def local_msm(px, py, pz, lmb):
-            sums = _msm_pipeline(c, px[0], py[0], pz[0], lmb[0])
-            gathered = [jax.lax.all_gather(t, axis, axis=0) for t in sums]
-            total = tuple(t[0] for t in gathered)
-            for d in range(1, n_dev):
-                total = g1_ops.padd(total, tuple(t[d] for t in gathered))
-            return total
+        # inputs may be committed to a single device (e.g. the re-homed
+        # round-5 witnesses); place them on the mesh explicitly
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(axis))
+        stacked_pts = tuple(jax.device_put(t, sh) for t in stacked_pts)
+        limbs = jax.device_put(limbs, sh)
 
-        fn = jax.jit(shard_map(
-            local_msm, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P(), P()), check_vma=False))
+        fn = _sharded_msm_jit(mesh, axis, c)
         sums = fn(*stacked_pts, limbs)
-        host = [np.asarray(t) for t in jax.device_get(sums)]
-        w_count = host[0].shape[0] // len(sizes)
-        return _host_window_fold(host, c, w_count, len(sizes), sizes)
+        return _fold_windows(sums, c, len(sizes), sizes)
 
     def _padded(self, n_pad):
         """Padded device point tensors + infinity flags, cached per size
@@ -482,9 +637,7 @@ class MSMContext:
         else:
             c = _window_bits(n_pad)
             sums = _msm_pipeline(c, *pts, limbs)
-        host = [np.asarray(t) for t in jax.device_get(sums)]
-        w_count = host[0].shape[0] // len(sizes)
-        return _host_window_fold(host, c, w_count, len(sizes), sizes)
+        return _fold_windows(sums, c, len(sizes), sizes)
 
 
 @jax.jit
@@ -533,23 +686,7 @@ def msm_sharded(points: list[G1Affine], scalars: list[Fr], mesh,
         [limbs[None, :, d * shard:(d + 1) * shard] for d in range(n_dev)])
     # [D, 1, 16, shard]
 
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    def local_msm(pts_x, pts_y, pts_z, lmb):
-        sums = _msm_pipeline(c, pts_x[0], pts_y[0], pts_z[0], lmb[0])
-        gathered = [jax.lax.all_gather(t, axis, axis=0) for t in sums]
-        total = tuple(t[0] for t in gathered)
-        for d in range(1, n_dev):
-            total = g1_ops.padd(total, tuple(t[d] for t in gathered))
-        return total
-
-    fn = jax.jit(shard_map(
-        local_msm, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P()),
-        check_vma=False))
+    fn = _sharded_msm_jit(mesh, axis, c)
     sums = fn(*stacked_pts, limbs)
 
-    host = [np.asarray(t) for t in jax.device_get(sums)]
-    return _host_window_fold(host, c, host[0].shape[0], 1, [n])[0]
+    return _fold_windows(sums, c, 1, [n])[0]

@@ -614,6 +614,18 @@ class Prover:
 
         # ROUND 4
         with metrics.GLOBAL.span("prove/round4_evaluations"):
+            if mesh is not None:
+                # rounds 4/5 are latency-bound evaluation stacks shared with
+                # the single-chip program set; re-homing their (small) inputs
+                # to one device reuses those exact executables instead of
+                # compiling mesh-sharded twins
+                import jax as _jax
+
+                dev0 = _jax.devices()[0]
+                home = lambda t: _jax.device_put(t, dev0)
+                wire_polys = tuple(home(t) for t in wire_polys)
+                z_poly = home(z_poly)
+                t4 = tuple(home(t) for t in t4)
             shifted = z_challenge * Fr(domain.group_gen)
             zw = cols([z_challenge, shifted])
             ev_z, ev_w = rp["p4"](rp["consts"], wire_polys, z_poly,
