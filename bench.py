@@ -31,18 +31,16 @@ def main():
     n = 1 << 16
     rng = random.Random(42)
 
-    from zkvm_tpu.curves.g1 import G1Affine, G1Projective
+    from zkvm_tpu.curves.g1 import G1Affine
     from zkvm_tpu.fields import Fr
+    from zkvm_tpu.ops.g1_ops import batch_scalar_mul_base
     from zkvm_tpu.ops.msm import MSMContext
 
-    # random points: cheap batch generation from one base
-    base = G1Affine.generator().to_projective()
-    acc = base
-    points = []
-    for _ in range(n):
-        points.append(acc)
-        acc = acc + acc if len(points) % 2 else acc + base
-    points = G1Projective.batch_normalize(points)
+    # random points: s_i * G through the device fixed-base kernel (the
+    # host EC loop costs ~10 minutes of Python at 2^16)
+    points = batch_scalar_mul_base(
+        G1Affine.generator(),
+        [Fr(rng.randrange(Fr.MODULUS)) for _ in range(n)])
     scalars = [Fr(rng.randrange(Fr.MODULUS)) for _ in range(n)]
 
     ctx = MSMContext(points)

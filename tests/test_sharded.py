@@ -90,3 +90,40 @@ def test_distributed_ntt_device_sweep(devices):
                 == jax.device_get(dom.coset_fft_device(x))).all(), (n, nd)
         assert FR.from_mont_array(dd.coset_ifft_device(gotc)) == vals, (
             n, nd)
+
+
+def test_dryrun_fixture_matches_single_chip_prove():
+    """Pin tests/fixtures/dryrun_proof_v1.bin to a fresh single-chip prove.
+
+    dryrun_multichip compares its mesh proof against this fixture instead
+    of re-proving single-chip in-process (halves the cold-compile bill on
+    the driver's 1-core box), so the fixture must track any change that
+    affects proof bytes -- this test is that tripwire.  Regenerate with
+    tools/gen_dryrun_fixture.py if it fails after an intentional change."""
+    import os
+
+    from zkvm_tpu.fields import Fr as _Fr
+    from zkvm_tpu.merkle.poseidon_tree import Item, PoseidonTree
+    from zkvm_tpu.plonk import Compiler, PublicParameters
+    from zkvm_tpu.rng import StdRng
+    from zkvm_tpu.service.batch import OpeningCircuit
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "dryrun_proof_v1.bin")
+    buf = open(fixture, "rb").read()
+    plen = int.from_bytes(buf[:4], "little")
+    ref_bytes = buf[4: 4 + plen]
+
+    tree = PoseidonTree(1)
+    for i in range(3):
+        tree.insert(i, Item(_Fr(1000 + i)))
+    leaf = Item(_Fr(1002))
+    opening = tree.opening(2)
+    pp = PublicParameters.setup(1 << 11, StdRng(42))
+    prover, verifier = Compiler.compile_with_circuit(
+        pp, b"dryrun", OpeningCircuit(opening, leaf))
+    proof, pis = prover.prove(StdRng(7), OpeningCircuit(opening, leaf))
+    assert proof.to_bytes() == ref_bytes, (
+        "single-chip proof drifted from the committed dryrun fixture; "
+        "regenerate tools/gen_dryrun_fixture.py if the change is intended")
+    verifier.verify(proof, pis)
