@@ -45,7 +45,7 @@ def main():
 
     ctx = MSMContext(points)
     result = ctx.msm(scalars)  # compile + warm
-    runs = 1
+    runs = 3
     t0 = time.monotonic()
     for _ in range(runs):
         result = ctx.msm(scalars)

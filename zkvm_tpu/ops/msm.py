@@ -474,7 +474,9 @@ def _window_fold_device(c: int, w_count: int, n_sets: int, x, y, z):
         return g1_ops.padd(acc, row), None
 
     acc, _ = jax.lax.scan(body, acc0, rev)
-    return acc  # ([L, S],) * 3
+    # stack so the host fetch is ONE transfer (3 device_gets cost ~25ms
+    # each through a remote-TPU tunnel)
+    return jnp.stack(acc)  # [3, L, S]
 
 
 def _fold_windows(sums, c: int, n_sets: int,
@@ -487,8 +489,9 @@ def _fold_windows(sums, c: int, n_sets: int,
 
     w_count = sums[0].shape[0] // n_sets
     if pallas_field._on_tpu():
-        acc = _window_fold_device(c, w_count, n_sets, *sums)
-        xs, ys, zs = (np.asarray(jax.device_get(t)) for t in acc)
+        acc = np.asarray(jax.device_get(
+            _window_fold_device(c, w_count, n_sets, *sums)))
+        xs, ys, zs = acc[0], acc[1], acc[2]
         rinv = pow(FQ.R, -1, FQ.modulus)
         out = []
         for s_i in range(n_sets):
@@ -566,8 +569,9 @@ class MSMContext:
             vals.extend([s.value for s in scalars]
                         + [0] * (n_pad - len(scalars)))
         limbs = FR.to_raw_array(vals)  # [16, S*n_pad]
-        limbs = jnp.moveaxis(
-            limbs.reshape(FR.n_limbs, len(scalar_sets), n_pad), 0, 1)
+        # reshape to [S, 16, n_pad] under jit: the eager moveaxis+reshape
+        # pair costs two host<->device round trips on remote-attached TPUs
+        limbs = _stack_scalar_sets(limbs, len(scalar_sets))
         return self._run(limbs, sizes, n_pad)
 
     def msm_many_mont(self, coeff_tensors, mesh=None,
@@ -638,6 +642,13 @@ class MSMContext:
             c = _window_bits(n_pad)
             sums = _msm_pipeline(c, *pts, limbs)
         return _fold_windows(sums, c, len(sizes), sizes)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _stack_scalar_sets(limbs, n_sets: int):
+    """[16, S*n_pad] raw limbs -> [S, 16, n_pad] (one fused dispatch)."""
+    n_pad = limbs.shape[-1] // n_sets
+    return jnp.moveaxis(limbs.reshape(FR.n_limbs, n_sets, n_pad), 0, 1)
 
 
 @jax.jit
