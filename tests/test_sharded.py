@@ -102,28 +102,17 @@ def test_dryrun_fixture_matches_single_chip_prove():
     tools/gen_dryrun_fixture.py if it fails after an intentional change."""
     import os
 
-    from zkvm_tpu.fields import Fr as _Fr
-    from zkvm_tpu.merkle.poseidon_tree import Item, PoseidonTree
-    from zkvm_tpu.plonk import Compiler, PublicParameters
-    from zkvm_tpu.rng import StdRng
-    from zkvm_tpu.service.batch import OpeningCircuit
+    from zkvm_tpu.utils import dryrun
 
-    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
-                           "dryrun_proof_v1.bin")
-    buf = open(fixture, "rb").read()
-    plen = int.from_bytes(buf[:4], "little")
-    ref_bytes = buf[4: 4 + plen]
+    repo_root = os.path.join(os.path.dirname(__file__), os.pardir)
+    ref_bytes, ref_pis = dryrun.load_fixture(dryrun.fixture_path(repo_root))
 
-    tree = PoseidonTree(1)
-    for i in range(3):
-        tree.insert(i, Item(_Fr(1000 + i)))
-    leaf = Item(_Fr(1002))
-    opening = tree.opening(2)
-    pp = PublicParameters.setup(1 << 11, StdRng(42))
-    prover, verifier = Compiler.compile_with_circuit(
-        pp, b"dryrun", OpeningCircuit(opening, leaf))
-    proof, pis = prover.prove(StdRng(7), OpeningCircuit(opening, leaf))
+    prover, verifier = dryrun.dryrun_prover()
+    proof, pis = dryrun.prove_dryrun(prover)
     assert proof.to_bytes() == ref_bytes, (
         "single-chip proof drifted from the committed dryrun fixture; "
-        "regenerate tools/gen_dryrun_fixture.py if the change is intended")
+        "rerun tools/gen_dryrun_fixture.py if the change is intended")
+    assert pis == ref_pis, (
+        "public inputs drifted from the committed dryrun fixture; "
+        "rerun tools/gen_dryrun_fixture.py if the change is intended")
     verifier.verify(proof, pis)

@@ -1,3 +1,4 @@
+# Unsupported dev profiling tool: pokes zkvm_tpu.ops.msm internals; run from the repo root.
 import time, random
 import jax
 import jax.numpy as jnp
