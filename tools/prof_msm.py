@@ -1,5 +1,6 @@
 # Unsupported dev profiling tool: pokes zkvm_tpu.ops.msm internals; run from the repo root.
-import time, random
+import os, sys, time, random
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 import jax
 import jax.numpy as jnp
 from zkvm_tpu.curves.g1 import G1Affine

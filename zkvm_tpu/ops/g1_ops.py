@@ -29,14 +29,15 @@ def _mul_b3(t):
 def padd(p, q):
     """Complete projective addition (RCB15 algorithm 7, a=0).
 
-    On TPU dispatches to the fused ILP-grouped two-limb pallas kernel (the
-    12 Montgomery multiplies run as 5 stacked-group CIOS loops consuming
-    two limbs per step in VMEM -- measured 133 ns/lane at block 512 vs the
-    serial kernel's 199 on one v5e)."""
+    On TPU dispatches to the serial two-limb pallas kernel.  With the
+    round-5 Kogge-Stone tensorized add/sub/normalize helpers the serial
+    kernel measures 52 ns/lane at block 512 on one v5e -- faster than the
+    ILP-grouped variant (67 ns/lane), whose stacked-group layout no longer
+    pays off once the row-loop overhead is gone."""
     from . import pallas_field
 
     if pallas_field._on_tpu():
-        return pallas_field.padd_pallas_ilp2l(p, q, block=512)
+        return pallas_field.padd_pallas_2l(p, q, block=512)
     return _padd_jnp(p, q)
 
 
@@ -83,7 +84,7 @@ def pdouble(p):
     from . import pallas_field
 
     if pallas_field._on_tpu():
-        return pallas_field.padd_pallas_ilp2l(p, p, block=512)
+        return pallas_field.padd_pallas_2l(p, p, block=512)
     return _pdouble_jnp(p)
 
 

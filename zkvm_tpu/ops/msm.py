@@ -299,22 +299,27 @@ def _msm_pipeline(c: int, px, py, pz, limbs):
     w_count = d.shape[1]
     b = s * w_count
 
-    bucket = jnp.where(d == 0, half + 1, jnp.abs(d)).reshape(b, n)
+    dflat = d.reshape(b, n)
+    bucket = jnp.where(dflat == 0, half + 1, jnp.abs(dflat))
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
-    if n <= (1 << 17) and half + 1 <= (1 << 13):
-        # pack (bucket, index) into one i32 key: a single-operand sort
-        # moves 3x less data through the sort network, and unpacking
-        # preserves exactly the stable order the 3-operand sort gives
-        packed = jax.lax.sort((bucket.astype(jnp.int32) << 17) | iota,
-                              dimension=-1)
-        sb = packed >> 17
-        perm = packed & ((1 << 17) - 1)
-        dsort = jnp.take_along_axis(d.reshape(b, n), perm, axis=1)
+    idx_bits = max(n - 1, 1).bit_length()
+    if ((half + 1) << (idx_bits + 1)) < (1 << 31):
+        # pack (bucket, sign, index) into one i32 key: a single-operand
+        # sort moves 3x less data through the sort network, the sign rides
+        # along for free, and unpacking preserves exactly the stable order
+        # the 3-operand sort gives
+        neg_bit = (dflat < 0).astype(jnp.int32) << idx_bits
+        packed = jax.lax.sort(
+            (bucket.astype(jnp.int32) << (idx_bits + 1)) | neg_bit | iota,
+            dimension=-1)
+        sb = packed >> (idx_bits + 1)
+        neg = ((packed >> idx_bits) & 1) == 1
+        perm = packed & ((1 << idx_bits) - 1)
     else:
         sb, perm, dsort = jax.lax.sort(
-            (bucket.astype(jnp.int32), iota, d.reshape(b, n)),
+            (bucket.astype(jnp.int32), iota, dflat),
             dimension=-1, num_keys=1)
-    neg = dsort < 0
+        neg = dsort < 0
 
     x = jnp.moveaxis(jnp.take(px, perm, axis=1), 0, 1)  # [B, 24, N]
     y = jnp.moveaxis(jnp.take(py, perm, axis=1), 0, 1)
@@ -370,19 +375,23 @@ def _msm_ptree_pipeline(c: int, px, py, pz, limbs):
     bucket = jnp.where(dflat == 0, sent, jnp.abs(dflat))
     bucket = jnp.where(pinf[None, :], sent, bucket)
 
+    # pack (bucket, sign, index) into ONE i32 sort key: the sign rides the
+    # sort for free, skipping a separate [B, N] digit gather afterwards
     idx_bits = max(n - 1, 1).bit_length()
-    assert (sent << idx_bits) < (1 << 31)
+    assert (sent << (idx_bits + 1)) < (1 << 31)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
-    packed = jax.lax.sort((bucket.astype(jnp.int32) << idx_bits) | iota,
-                          dimension=-1)
-    sid = packed >> idx_bits
+    neg_bit = (dflat < 0).astype(jnp.int32) << idx_bits
+    packed = jax.lax.sort(
+        (bucket.astype(jnp.int32) << (idx_bits + 1)) | neg_bit | iota,
+        dimension=-1)
+    sid = packed >> (idx_bits + 1)
+    neg = ((packed >> idx_bits) & 1) == 1
     perm = packed & ((1 << idx_bits) - 1)
-    dsort = jnp.take_along_axis(dflat, perm, axis=1)
 
     x = jnp.moveaxis(jnp.take(px, perm, axis=1), 0, 1)  # [B, 24, N]
     y = jnp.moveaxis(jnp.take(py, perm, axis=1), 0, 1)
     z = jnp.moveaxis(jnp.take(pz, perm, axis=1), 0, 1)
-    y = lf.select(dsort < 0, lf.neg(FQ, y), y)
+    y = lf.select(neg, lf.neg(FQ, y), y)
 
     one_col = jnp.asarray(np.asarray(FQ.one_mont, dtype=np.uint32))[:, None]
 

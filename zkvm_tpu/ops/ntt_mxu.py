@@ -130,11 +130,12 @@ def _fold_body(v):
     hi = jnp.concatenate(
         [v[32:34], jnp.zeros((14,) + v.shape[1:], jnp.uint32)], axis=0)
     p_ints = [int(t) for t in FR.p_limbs]
+    p_col = pf._const_col(p_ints, lo.ndim)
     for _ in range(2):  # lo < 2^256 < 3p: two conditional subtracts
         d, under = pf._sub_limbs(lo, p_ints)
-        lo = jnp.where(under[None], lo, d)
-    y = pf._add_k(FR, lo, pf._mont_mul_const_k(FR, mid, _K1))
-    return pf._add_k(FR, y, pf._mont_mul_const_k(FR, hi, _K2))
+        lo = jnp.where(under, lo, d)
+    y = pf._add_k(FR, lo, pf._mont_mul_const_k(FR, mid, _K1, p_col), p_col)
+    return pf._add_k(FR, y, pf._mont_mul_const_k(FR, hi, _K2, p_col), p_col)
 
 
 def _fold_kernel(limbs_ref, out_ref):

@@ -46,7 +46,7 @@ def _on_tpu() -> bool:
 # In-kernel field arithmetic (traced helpers over jnp values)
 # -----------------------------------------------------------------------------
 
-def _mont_mul_k(spec, a, b):
+def _mont_mul_k(spec, a, b, p_col=None):
     """CIOS Montgomery product for [L, B] values inside a kernel.
 
     Field constants enter as per-limb python scalars (pallas kernels cannot
@@ -68,10 +68,10 @@ def _mont_mul_k(spec, a, b):
         acc = acc + cat([mp & LIMB_MASK, zeros1]) + cat([zeros1, mp >> LIMB_BITS])
         carry = acc[0:1] >> LIMB_BITS
         acc = cat([acc[1:2] + carry, acc[2:], zeros1])
-    return _normalize_sub_p(spec, acc)
+    return _normalize_sub_p(spec, acc, p_col)
 
 
-def _mont_mul_const_k(spec, a, c_limbs):
+def _mont_mul_const_k(spec, a, c_limbs, p_col=None):
     """CIOS product with a compile-time constant operand (unrolled)."""
     l = spec.n_limbs
     np0 = int(spec.nprime & LIMB_MASK)
@@ -90,67 +90,132 @@ def _mont_mul_const_k(spec, a, c_limbs):
         acc = acc + cat([mp & LIMB_MASK, zeros1]) + cat([zeros1, mp >> LIMB_BITS])
         carry = acc[0:1] >> LIMB_BITS
         acc = cat([acc[1:2] + carry, acc[2:], zeros1])
-    return _normalize_sub_p(spec, acc)
+    return _normalize_sub_p(spec, acc, p_col)
 
 
-def _carry_norm(acc, n_out):
-    """Carry-normalize [C, B] columns to n_out 16-bit limbs (unrolled)."""
-    outs = []
-    carry = jnp.zeros_like(acc[0])
-    c = acc.shape[0]
-    for k in range(n_out):
-        v = (acc[k] if k < c else jnp.zeros_like(carry)) + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=0)
+def _shift_rows(t, d, axis=0, fill=0):
+    """Shift limb rows up-index by d along `axis` (row k -> k+d); `fill`
+    enters at the low rows.  One concatenation -- no per-row loop."""
+    if d == 0:
+        return t
+    lo = [slice(None)] * t.ndim
+    lo[axis] = slice(0, d)
+    hi = [slice(None)] * t.ndim
+    hi[axis] = slice(0, t.shape[axis] - d)
+    head = jnp.full_like(t[tuple(lo)], fill)
+    return jnp.concatenate([head, t[tuple(hi)]], axis=axis)
 
 
-def _normalize_sub_p(spec, acc, p_col=None):
-    """Normalize an [L+1, B] accumulator (< 2p) to [L, B] canonical limbs."""
-    l = spec.n_limbs
-    s = _carry_norm(acc, l + 1)
-    carry_set = s[l] > 0
-    body = s[:l]
-    p_limbs = ([int(x) for x in spec.p_limbs] if p_col is None else
-               p_col.astype(jnp.int32))
-    diff, under = _sub_limbs(body, p_limbs)
-    need = carry_set | ~under
-    return jnp.where(need[None, :], diff, body)
+def _row(t, k, axis=0):
+    """Row k along `axis`, kept as a size-1 dim (broadcast-ready)."""
+    sl = [slice(None)] * t.ndim
+    sl[axis] = slice(k, k + 1) if k >= 0 else slice(k, None)
+    return t[tuple(sl)]
 
 
-def _sub_limbs(a, b):
-    """a - b over [L, B] limbs (unrolled borrow); returns (diff, underflow).
+def _const_col(vals, ndim, axis=0, dtype=jnp.uint32):
+    """Per-limb python ints -> an [L]-along-`axis` broadcastable constant.
 
-    b: same-shaped tensor or a list of per-limb python ints.
-    """
-    l = a.shape[0]
-    outs = []
-    borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
-    for k in range(l):
-        bk = b[k] if isinstance(b, list) else b[k].astype(jnp.int32)
-        v = a[k].astype(jnp.int32) - bk - borrow
-        outs.append((v & LIMB_MASK).astype(jnp.uint32))
-        borrow = (v >> LIMB_BITS) & 1
-    return jnp.stack(outs, axis=0), borrow > 0
+    Built from scalar fills (pallas kernels cannot capture array
+    constants); XLA folds it outside kernels."""
+    shape = tuple([1] * ndim)
+    rows = [jnp.full(shape, int(v), dtype) for v in vals]
+    return jnp.concatenate(rows, axis=axis)
 
 
-def _add_k(spec, a, b):
-    """(a + b) mod p over [L, B]."""
-    return _normalize_sub_p(spec, jnp.concatenate(
-        [a + b, jnp.zeros((1,) + a.shape[1:], dtype=jnp.uint32)], axis=0))
+def _ks_carry(g, p, axis=0):
+    """Kogge-Stone inclusive prefix of the carry operator along `axis`.
+
+    g, p: uint32 0/1 tensors (generate / propagate per limb row).
+    Returns Ginc with Ginc[k] = carry-out of row k under ripple rules
+    (Ginc[k] = g[k] | (p[k] & Ginc[k-1])) -- log2(L) whole-tensor steps
+    instead of an L-step row loop."""
+    n = g.shape[axis]
+    sh = 1
+    while sh < n:
+        g = g | (p & _shift_rows(g, sh, axis))
+        p = p & _shift_rows(p, sh, axis, fill=1)
+        sh *= 2
+    return g
 
 
-def _sub_k(spec, a, b, p_col=None):
-    """(a - b) mod p over [L, B]."""
-    diff, under = _sub_limbs(a, b)
-    if p_col is None:
-        p_rows = jnp.concatenate(
-            [jnp.where(under[None, :], jnp.uint32(int(pk)), jnp.uint32(0))
-             for pk in spec.p_limbs], axis=0)
+def _carry_norm(acc, n_out, axis=0):
+    """Carry-normalize limb columns (rows < 2^19) to n_out 16-bit limbs:
+    two local carry rounds then a Kogge-Stone lookahead -- whole-tensor
+    ops only (the previous unrolled row loop cost ~30 cycles per tiny
+    [1, B] op and dominated every add/sub in the kernels)."""
+    c = acc.shape[axis]
+    if c < n_out:
+        shape = list(acc.shape)
+        shape[axis] = n_out - c
+        acc = jnp.concatenate(
+            [acc, jnp.zeros(tuple(shape), acc.dtype)], axis=axis)
+    elif c > n_out:
+        sl = [slice(None)] * acc.ndim
+        sl[axis] = slice(0, n_out)
+        acc = acc[tuple(sl)]
+    s = acc
+    # local rounds: rows < 2^19 -> carries < 8 -> rows <= 2^16-1+7 ->
+    # carries <= 1 -> rows <= 2^16
+    for _ in range(2):
+        s = (s & LIMB_MASK) + _shift_rows(s >> LIMB_BITS, 1, axis)
+    d = s & LIMB_MASK
+    g = s >> LIMB_BITS                      # 0/1
+    p = (d == LIMB_MASK).astype(jnp.uint32)
+    c_in = _shift_rows(_ks_carry(g, p, axis), 1, axis)
+    return (d + c_in) & LIMB_MASK
+
+
+def _sub_limbs(a, b, axis=0):
+    """a - b over 16-bit limb rows along `axis`; returns (diff, under).
+
+    b: a broadcastable tensor/column or a list of per-limb python ints.
+    `under` is a keepdims boolean (size-1 limb dim).  Borrow propagation
+    via Kogge-Stone lookahead (log-depth whole-tensor ops)."""
+    if isinstance(b, (list, tuple)):
+        bt = _const_col(b, a.ndim, axis, jnp.int32)
     else:
-        p_rows = jnp.where(under[None, :], p_col, jnp.uint32(0))
-    readd = _carry_norm(diff + p_rows, spec.n_limbs)
-    return jnp.where(under[None, :], readd, diff)
+        bt = b.astype(jnp.int32)
+    v = a.astype(jnp.int32) - bt            # (-2^16, 2^16)
+    d = (v & LIMB_MASK).astype(jnp.uint32)
+    g = ((v >> 31) & 1).astype(jnp.uint32)  # borrow generate
+    p = (d == 0).astype(jnp.uint32)         # borrow propagate
+    binc = _ks_carry(g, p, axis)
+    b_in = _shift_rows(binc, 1, axis)
+    diff = ((d.astype(jnp.int32) - b_in.astype(jnp.int32)) & LIMB_MASK)
+    return diff.astype(jnp.uint32), _row(binc, -1, axis) > 0
+
+
+def _normalize_sub_p(spec, acc, p_col=None, axis=0):
+    """Normalize an [L+1]-row accumulator (< 2p) to L canonical limbs."""
+    l = spec.n_limbs
+    s = _carry_norm(acc, l + 1, axis)
+    carry_set = _row(s, l, axis) > 0
+    sl = [slice(None)] * s.ndim
+    sl[axis] = slice(0, l)
+    body = s[tuple(sl)]
+    p_limbs = ([int(x) for x in spec.p_limbs] if p_col is None else p_col)
+    diff, under = _sub_limbs(body, p_limbs, axis)
+    need = carry_set | ~under
+    return jnp.where(need, diff, body)
+
+
+def _add_k(spec, a, b, p_col=None, axis=0):
+    """(a + b) mod p over 16-bit limb rows."""
+    shape = list(a.shape)
+    shape[axis] = 1
+    return _normalize_sub_p(spec, jnp.concatenate(
+        [a + b, jnp.zeros(tuple(shape), dtype=jnp.uint32)], axis=axis),
+        p_col, axis)
+
+
+def _sub_k(spec, a, b, p_col=None, axis=0):
+    """(a - b) mod p over 16-bit limb rows."""
+    diff, under = _sub_limbs(a, b, axis)
+    if p_col is None:
+        p_col = _const_col([int(x) for x in spec.p_limbs], a.ndim, axis)
+    p_rows = jnp.where(under, p_col, jnp.uint32(0))
+    return _carry_norm(diff + p_rows, spec.n_limbs, axis)
 
 
 # -----------------------------------------------------------------------------
@@ -160,7 +225,8 @@ def _sub_k(spec, a, b, p_col=None):
 # -----------------------------------------------------------------------------
 
 def _mont_mul_ew_kernel(spec, a_ref, b_ref, o_ref):
-    o_ref[:] = _mont_mul_k(spec, a_ref[:], b_ref[:])
+    p_col = _const_col([int(x) for x in spec.p_limbs], 2)
+    o_ref[:] = _mont_mul_k(spec, a_ref[:], b_ref[:], p_col)
 
 
 def mont_mul_pallas(spec, a, b, block: int = 2048, interpret: bool = False):
@@ -213,24 +279,26 @@ def _hades_consts():
 def _hades_kernel(state_ref, arc_ref, mds_ref, mask_ref, out_ref):
     """68 rounds over one [5, L, B] block, fully VMEM-resident."""
     state = state_ref[:]  # [5, L, B]
+    p_col = _const_col([int(x) for x in FR.p_limbs], 2)
 
     def round_body(r, s):
         arc = arc_ref[pl.ds(r, 1)][0]    # [5, L]
         mask = mask_ref[pl.ds(r, 1)][0]  # [5]
         rows = []
         for i in range(_W):
-            x = _add_k(FR, s[i], arc[i][:, None])
-            x2 = _mont_mul_k(FR, x, x)
-            x4 = _mont_mul_k(FR, x2, x2)
-            x5 = _mont_mul_k(FR, x4, x)
+            x = _add_k(FR, s[i], arc[i][:, None], p_col)
+            x2 = _mont_mul_k(FR, x, x, p_col)
+            x4 = _mont_mul_k(FR, x2, x2, p_col)
+            x5 = _mont_mul_k(FR, x4, x, p_col)
             rows.append(jnp.where((mask[i] != 0)[None, None], x5, x))
         mds = mds_ref[:]
         out_rows = []
         for row in range(_W):
-            acc = _mont_mul_k(FR, rows[0], mds[row, 0][:, None])
+            acc = _mont_mul_k(FR, rows[0], mds[row, 0][:, None], p_col)
             for col in range(1, _W):
                 acc = _add_k(FR, acc,
-                             _mont_mul_k(FR, rows[col], mds[row, col][:, None]))
+                             _mont_mul_k(FR, rows[col], mds[row, col][:, None],
+                                         p_col), p_col)
             out_rows.append(acc)
         return jnp.stack(out_rows, axis=0)
 
@@ -363,9 +431,9 @@ def _padd_kernel(p_r, x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r, scr,
                  mul_impl=_mont_mul_scr):
     p_col = p_r[:]  # [L, 1] modulus column (broadcasts against [L, B])
     mul = lambda a, b: mul_impl(FQ, a, b, scr, p_col)
-    add = lambda a, b: _add_k(FQ, a, b)
+    add = lambda a, b: _add_k(FQ, a, b, p_col)
     sub = lambda a, b: _sub_k(FQ, a, b, p_col)
-    mul_b3 = lambda t: _mont_mul_const_k(FQ, t, _B3_LIMBS)
+    mul_b3 = lambda t: _mont_mul_const_k(FQ, t, _B3_LIMBS, p_col)
     x1, y1, z1 = x1r[0], y1r[0], z1r[0]
     x2, y2, z2 = x2r[0], y2r[0], z2r[0]
     t0 = mul(x1, x2)
@@ -462,29 +530,7 @@ def _mont_mul_scr_m(spec, a, b, scr, p_col):
     acc0 = jnp.zeros(a.shape[:-2] + (l + 1,) + a.shape[-1:],
                      dtype=jnp.uint32)
     acc = jax.lax.fori_loop(0, l, body, acc0)
-
-    # normalize: carry sweep to L+1 limbs, then one conditional subtract
-    outs = []
-    carry = jnp.zeros_like(acc[..., 0:1, :])
-    for k in range(l + 1):
-        v = acc[..., k:k + 1, :] + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    s = jnp.concatenate(outs, axis=-2)
-    carry_set = s[..., l, :] > 0
-    body_limbs = s[..., :l, :]
-    pi32 = p_col.astype(jnp.int32)
-    douts = []
-    borrow = jnp.zeros_like(body_limbs[..., 0:1, :], dtype=jnp.int32)
-    for k in range(l):
-        v = body_limbs[..., k:k + 1, :].astype(jnp.int32) \
-            - pi32[k:k + 1] - borrow
-        douts.append((v & LIMB_MASK).astype(jnp.uint32))
-        borrow = (v >> LIMB_BITS) & 1
-    diff = jnp.concatenate(douts, axis=-2)
-    under = (borrow > 0)[..., 0, :]
-    need = carry_set | ~under
-    return jnp.where(need[..., None, :], diff, body_limbs)
+    return _normalize_sub_p(spec, acc, p_col, axis=-2)
 
 
 def _mont_mul_scr_m2(spec, a, b, scr, p_col):
@@ -528,37 +574,14 @@ def _mont_mul_scr_m2(spec, a, b, scr, p_col):
 
     acc0 = jnp.zeros(a.shape[:-2] + (l + 2,) + tail, dtype=jnp.uint32)
     acc = jax.lax.fori_loop(0, l // 2, body, acc0)
-    acc = acc[..., : l + 1, :]
-
-    # normalize (same tail as _mont_mul_scr_m)
-    outs = []
-    carry = jnp.zeros_like(acc[..., 0:1, :])
-    for k in range(l + 1):
-        v = acc[..., k:k + 1, :] + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    s = jnp.concatenate(outs, axis=-2)
-    carry_set = s[..., l, :] > 0
-    body_limbs = s[..., :l, :]
-    pi32 = p_col.astype(jnp.int32)
-    douts = []
-    borrow = jnp.zeros_like(body_limbs[..., 0:1, :], dtype=jnp.int32)
-    for k in range(l):
-        v = body_limbs[..., k:k + 1, :].astype(jnp.int32) \
-            - pi32[k:k + 1] - borrow
-        douts.append((v & LIMB_MASK).astype(jnp.uint32))
-        borrow = (v >> LIMB_BITS) & 1
-    diff = jnp.concatenate(douts, axis=-2)
-    under = (borrow > 0)[..., 0, :]
-    need = carry_set | ~under
-    return jnp.where(need[..., None, :], diff, body_limbs)
+    return _normalize_sub_p(spec, acc[..., : l + 1, :], p_col, axis=-2)
 
 
 def _padd_kernel_ilp(p_r, b3_r, x1r, y1r, z1r, x2r, y2r, z2r,
                      x3r, y3r, z3r, scr, mul_m=_mont_mul_scr_m):
     p_col = p_r[:]
     b3_col = b3_r[:]
-    add = lambda a, b: _add_k(FQ, a, b)
+    add = lambda a, b: _add_k(FQ, a, b, p_col)
     sub = lambda a, b: _sub_k(FQ, a, b, p_col)
 
     def mul_group(pairs):
@@ -634,9 +657,10 @@ def padd_pallas_ilp2l(p, q, block: int = 1024, interpret: bool = False):
 
 def _butterfly_kernel(even_ref, odd_ref, tw_ref, plus_ref, minus_ref):
     even = even_ref[:]
-    t = _mont_mul_k(FR, odd_ref[:], tw_ref[:])
-    plus_ref[:] = _add_k(FR, even, t)
-    minus_ref[:] = _sub_k(FR, even, t)
+    p_col = _const_col([int(x) for x in FR.p_limbs], 2)
+    t = _mont_mul_k(FR, odd_ref[:], tw_ref[:], p_col)
+    plus_ref[:] = _add_k(FR, even, t, p_col)
+    minus_ref[:] = _sub_k(FR, even, t, p_col)
 
 
 def butterfly_pallas(even, odd, tw, block: int = 1024,
