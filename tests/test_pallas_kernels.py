@@ -169,3 +169,27 @@ def test_ntt_carry_fold_kernel_matches_host():
             want = val % q
             limb_out = int(lf.limbs_to_int(np.asarray(got)[:, i, j]))
             assert limb_out == want, (i, j)
+
+
+def test_window_fold_pallas_matches_host():
+    """The fused window-fold kernel (one launch, in-kernel Horner chain)
+    matches the host bigint fold on real points, multiple sets."""
+    from zkvm_tpu.curves.g1 import G1Affine, G1Projective
+    from zkvm_tpu.fields import Fp, Fr
+    from zkvm_tpu.ops import msm as msm_mod
+
+    c, w_count, n_sets = 4, 5, 3
+    pts = [(G1Affine.generator()
+            * Fr(rng.randrange(1, params.FR_MODULUS))).to_affine()
+           for _ in range(w_count * n_sets)]
+    dev = g1_ops.affine_to_device(pts)
+    sums = tuple(jnp.asarray(np.asarray(t).T[:, :, None]) for t in dev)
+    out = np.asarray(pallas_field.window_fold_pallas(
+        c, w_count, n_sets, *sums, interpret=True))
+    host = msm_mod._host_window_fold(
+        [np.asarray(t) for t in sums], c, w_count, n_sets, [1] * n_sets)
+    rinv = pow(FQ.R, -1, FQ.modulus)
+    for s_i in range(n_sets):
+        gx, gy, gz = (lf.limbs_to_int(out[k][:, s_i]) * rinv % FQ.modulus
+                      for k in range(3))
+        assert G1Projective(Fp(gx), Fp(gy), Fp(gz)) == host[s_i]

@@ -7,8 +7,11 @@ witness synthesis, which runs on the host and is part of every proof).
     python tools/bench_flagship.py [count=21] [capacity_log2=17] [reps=3]
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 from zkvm_tpu.plonk import Compiler, PublicParameters
 from zkvm_tpu.rng import StdRng

@@ -467,25 +467,13 @@ def _window_fold_device(c: int, w_count: int, n_sets: int, x, y, z):
     """Fold [S*W, L, 1] window sums into one point per set ON DEVICE.
 
     total = sum_w 2^(c*w) * S_w via the classic highest-window-first
-    double-and-add: one lax.scan whose body does c complete doublings plus
-    one add over [L, S] lanes -- ~W*(c+1) tiny pallas launches inside one
-    program instead of the same chain as ~50ms of host bigint point ops
-    per commit batch (plus it shrinks the device->host transfer to S
-    points)."""
-    t = tuple(jnp.transpose(a.reshape(n_sets, w_count, FQ.n_limbs), (1, 2, 0))
-              for a in (x, y, z))  # [W, L, S]
-    rev = tuple(a[::-1] for a in t)
-    acc0 = g1_ops.identity_batch((n_sets,))
+    double-and-add, as ONE fused pallas kernel (the round-2 lax.scan
+    version dispatched ~W*(c+1) tiny pallas launches per fold, ~30 ms per
+    commit batch).  Output is stacked so the host fetch is ONE transfer
+    (3 device_gets cost ~25ms each through a remote-TPU tunnel)."""
+    from . import pallas_field
 
-    def body(acc, row):
-        for _ in range(c):
-            acc = g1_ops.pdouble(acc)
-        return g1_ops.padd(acc, row), None
-
-    acc, _ = jax.lax.scan(body, acc0, rev)
-    # stack so the host fetch is ONE transfer (3 device_gets cost ~25ms
-    # each through a remote-TPU tunnel)
-    return jnp.stack(acc)  # [3, L, S]
+    return pallas_field.window_fold_pallas(c, w_count, n_sets, x, y, z)
 
 
 def _fold_windows(sums, c: int, n_sets: int,

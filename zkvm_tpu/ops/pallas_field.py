@@ -427,15 +427,16 @@ _B3_LIMBS = tuple(int(x) for x in lf.int_to_limbs(
     3 * params.G1_B * FQ.R % FQ.modulus, FQ.n_limbs))
 
 
-def _padd_kernel(p_r, x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r, scr,
-                 mul_impl=_mont_mul_scr):
-    p_col = p_r[:]  # [L, 1] modulus column (broadcasts against [L, B])
+def _padd_vals(p_col, scr, P, Q, mul_impl=_mont_mul_scr):
+    """RCB15 complete addition (algorithm 7, a=0) on (x, y, z) [L, B]
+    value triples inside a kernel; shared by the block-padd kernel and the
+    fused window-fold kernel."""
     mul = lambda a, b: mul_impl(FQ, a, b, scr, p_col)
     add = lambda a, b: _add_k(FQ, a, b, p_col)
     sub = lambda a, b: _sub_k(FQ, a, b, p_col)
     mul_b3 = lambda t: _mont_mul_const_k(FQ, t, _B3_LIMBS, p_col)
-    x1, y1, z1 = x1r[0], y1r[0], z1r[0]
-    x2, y2, z2 = x2r[0], y2r[0], z2r[0]
+    x1, y1, z1 = P
+    x2, y2, z2 = Q
     t0 = mul(x1, x2)
     t1 = mul(y1, y2)
     t2 = mul(z1, z2)
@@ -450,6 +451,15 @@ def _padd_kernel(p_r, x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r, scr,
     t0_3 = add(add(t0, t0), t0)
     y3 = add(mul(t1, z3), mul(y3, t0_3))
     z3 = add(mul(z3, t4), mul(t0_3, t3))
+    return x3, y3, z3
+
+
+def _padd_kernel(p_r, x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r, scr,
+                 mul_impl=_mont_mul_scr):
+    p_col = p_r[:]  # [L, 1] modulus column (broadcasts against [L, B])
+    x3, y3, z3 = _padd_vals(p_col, scr,
+                            (x1r[0], y1r[0], z1r[0]),
+                            (x2r[0], y2r[0], z2r[0]), mul_impl)
     x3r[0], y3r[0], z3r[0] = x3, y3, z3
 
 
@@ -683,3 +693,64 @@ def butterfly_pallas(even, odd, tw, block: int = 1024,
         interpret=interpret,
     )(even, odd, tw)
     return plus[:, :b], minus[:, :b]
+
+
+# -----------------------------------------------------------------------------
+# Fused window fold: sum_w 2^(c*w) * S_w in ONE kernel
+# -----------------------------------------------------------------------------
+
+def _window_fold_kernel(c, w_count, p_r, x_r, y_r, z_r, ox, oy, oz, scr):
+    """Highest-window-first Horner chain, fully VMEM-resident.
+
+    Inputs [W, L, S] (already reversed: row 0 = highest window); the
+    eager lax.scan version dispatched ~W*(c+1) tiny pallas launches per
+    fold -- this kernel runs the whole chain in one launch."""
+    p_col = p_r[:]
+    l = FQ.n_limbs
+    s = x_r.shape[-1]
+    one = _const_col([int(v) for v in FQ.one_mont], 2)
+    zero = jnp.zeros((l, s), jnp.uint32)
+    acc0 = (zero, jnp.broadcast_to(one, (l, s)), zero)
+
+    def body(w, acc):
+        for _ in range(c):
+            acc = _padd_vals(p_col, scr, acc, acc, _mont_mul_scr2)
+        row = (x_r[pl.ds(w, 1)][0], y_r[pl.ds(w, 1)][0],
+               z_r[pl.ds(w, 1)][0])
+        return _padd_vals(p_col, scr, acc, row, _mont_mul_scr2)
+
+    acc = jax.lax.fori_loop(0, w_count, body, acc0)
+    ox[:], oy[:], oz[:] = acc
+
+
+def window_fold_pallas(c: int, w_count: int, n_sets: int, x, y, z,
+                       interpret: bool = False):
+    """Fold [S*W, L, 1] window sums into [3, L, S] totals (one launch).
+
+    total = sum_w 2^(c*w) * S_w via the classic highest-window-first
+    double-and-add; bit-identical to the host bigint chain."""
+    l = FQ.n_limbs
+    t = tuple(jnp.transpose(a.reshape(n_sets, w_count, l), (1, 2, 0))
+              for a in (x, y, z))          # [W, L, S]
+    rev = tuple(a[::-1] for a in t)        # highest window first
+    s_pad = _align128_lanes(n_sets)
+    if s_pad != n_sets:
+        rev = tuple(jnp.pad(a, [(0, 0), (0, 0), (0, s_pad - n_sets)])
+                    for a in rev)          # pad lanes never read back
+    p_arr = jnp.asarray(np.asarray(FQ.p_limbs, dtype=np.uint32))[:, None]
+    p_spec = pl.BlockSpec((l, 1), lambda: (0, 0))
+    spec = pl.BlockSpec((w_count, l, s_pad), lambda: (0, 0, 0))
+    ospec = pl.BlockSpec((l, s_pad), lambda: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_window_fold_kernel, c, w_count),
+        in_specs=[p_spec] + [spec] * 3,
+        out_specs=[ospec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((l, s_pad), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((l, s_pad), jnp.uint32)],
+        interpret=interpret,
+    )(p_arr, *rev)
+    return jnp.stack(out)[:, :, :n_sets]  # [3, L, S]
+
+
+def _align128_lanes(v: int) -> int:
+    return -(-v // 128) * 128

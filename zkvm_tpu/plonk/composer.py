@@ -99,11 +99,13 @@ class Composer:
             value = Fr(int(value))
         witness = self.perm.new_witness()
         self.witnesses.append(value)
-        self.runtime.event("witness_appended", witness, value)
+        if self.runtime.listeners:
+            self.runtime.event("witness_appended", witness, value)
         return witness
 
     def append_custom_gate(self, constraint: Constraint) -> None:
-        self.runtime.event("constraint_appended", constraint)
+        if self.runtime.listeners:
+            self.runtime.event("constraint_appended", constraint)
         gate_index = len(self.constraints)
         self.constraints.append(Gate(constraint))
         if constraint.has_public_input():
@@ -121,21 +123,31 @@ class Composer:
 
     def append_evaluated_output(self, s: Constraint) -> Witness | None:
         """Evaluate the arithmetic polynomial and allocate -o/q_o
-        (composer.rs:451-501)."""
-        a = self[s.witness(WiredWitness.A)]
-        b = self[s.witness(WiredWitness.B)]
-        d = self[s.witness(WiredWitness.D)]
-        value = (s.coeff(Selector.MULTIPLICATION) * a * b
-                 + s.coeff(Selector.LEFT) * a
-                 + s.coeff(Selector.RIGHT) * b
-                 + s.coeff(Selector.FOURTH) * d
-                 + s.coeff(Selector.CONSTANT)
-                 + s.coeff(Selector.PUBLIC_INPUT))
-        q_o = s.coeff(Selector.OUTPUT)
-        inv = q_o.invert()
-        if inv is None:
+        (composer.rs:451-501).
+
+        Runs on raw ints (one Fr at the end) with a fast path for the
+        ubiquitous q_o = -1: this is called once per gate_add and the Fr
+        operator churn plus a per-gate modular inversion dominated it."""
+        q = Fr.MODULUS
+        w = self.witnesses
+        sw = s.witnesses
+        a = w[sw[WiredWitness.A].index].value
+        b = w[sw[WiredWitness.B].index].value
+        d = w[sw[WiredWitness.D].index].value
+        co = s.coefficients
+        value = (co[Selector.MULTIPLICATION].value * a * b
+                 + co[Selector.LEFT].value * a
+                 + co[Selector.RIGHT].value * b
+                 + co[Selector.FOURTH].value * d
+                 + co[Selector.CONSTANT].value
+                 + co[Selector.PUBLIC_INPUT].value) % q
+        q_o = co[Selector.OUTPUT].value
+        if q_o == q - 1:          # -o/q_o = o for q_o = -1
+            return self.append_witness(Fr(value))
+        if q_o == 0:
             return None
-        return self.append_witness(value * (-inv))
+        inv = pow(q_o, -1, q)
+        return self.append_witness(Fr(-value * inv % q))
 
     # -- basic gadgets ------------------------------------------------------------
     def append_constant(self, constant) -> Witness:

@@ -37,14 +37,32 @@ class WiredWitness(IntEnum):
     D = 3
 
 
-@dataclass(frozen=True)
 class Witness:
-    """Index into the composer's witness table (witness.rs:9)."""
+    """Index into the composer's witness table (witness.rs:9).
 
-    index: int
+    A hand-rolled frozen value class: the frozen-dataclass __init__ and
+    tuple-hash cost dominated witness-synthesis dict operations at the
+    2^16-gate flagship scale."""
+
+    __slots__ = ("index",)
+
+    def __init__(self, index: int):
+        object.__setattr__(self, "index", index)
+
+    def __setattr__(self, *_):
+        raise AttributeError("Witness is immutable")
 
     def __int__(self):
         return self.index
+
+    def __eq__(self, other):
+        return isinstance(other, Witness) and self.index == other.index
+
+    def __hash__(self):
+        return self.index
+
+    def __repr__(self):
+        return f"Witness(index={self.index})"
 
 
 ZERO = Witness(0)
@@ -113,9 +131,12 @@ class Constraint:
         return c
 
     def set(self, sel: Selector, value) -> "Constraint":
-        c = self._copy()
-        c.coefficients[sel] = value if isinstance(value, Fr) else Fr(int(value))
-        return c
+        # mutates in place and returns self: every call site immediately
+        # rebinds the result, and Gate() snapshots coefficients/witnesses
+        # at append time, so copy-on-set only burned time (~600k copies
+        # per 2^16-gate witness synthesis)
+        self.coefficients[sel] = value if isinstance(value, Fr) else Fr(int(value))
+        return self
 
     def set_witness(self, which: WiredWitness, w: Witness) -> None:
         self.witnesses[which] = w

@@ -26,24 +26,27 @@ class Permutation:
     """Witness -> wire-usage map (permutation.rs:16-74)."""
 
     def __init__(self):
-        self.witness_map: dict[Witness, list[WireData]] = {}
+        # dense witness indices -> wire-usage lists (a list outruns the
+        # round-2 dict: no Witness hashing on the synthesis hot path)
+        self.witness_map: list[list[WireData]] = []
 
     def new_witness(self) -> Witness:
         witness = Witness(len(self.witness_map))
-        self.witness_map[witness] = []
+        self.witness_map.append([])
         return witness
 
     def add_witnesses_to_map(self, a: Witness, b: Witness, c: Witness,
                              d: Witness, gate_index: int) -> None:
-        self.witness_map[a].append(WireData(WireData.LEFT, gate_index))
-        self.witness_map[b].append(WireData(WireData.RIGHT, gate_index))
-        self.witness_map[c].append(WireData(WireData.OUTPUT, gate_index))
-        self.witness_map[d].append(WireData(WireData.FOURTH, gate_index))
+        wm = self.witness_map
+        wm[a.index].append(WireData(WireData.LEFT, gate_index))
+        wm[b.index].append(WireData(WireData.RIGHT, gate_index))
+        wm[c.index].append(WireData(WireData.OUTPUT, gate_index))
+        wm[d.index].append(WireData(WireData.FOURTH, gate_index))
 
     def compute_sigma_permutations(self, n: int) -> list[list[WireData]]:
         """Cycle-rotated sigma mappings (permutation.rs:76-109)."""
         sigmas = [[WireData(kind, i) for i in range(n)] for kind in range(4)]
-        for wire_data_entries in self.witness_map.values():
+        for wire_data_entries in self.witness_map:
             m = len(wire_data_entries)
             for wire_index, current in enumerate(wire_data_entries):
                 nxt = wire_data_entries[(wire_index + 1) % m]

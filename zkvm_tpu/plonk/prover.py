@@ -526,9 +526,21 @@ class Prover:
     def _prove_fast(self, rng, circuit, mesh=None,
                     shard_axis: str | None = None) -> tuple[Proof, list[Fr]]:
         # witness re-synthesis (composer.rs:964) is host Python and part of
-        # every proof's cost -- measured so the flagship accounting closes
-        with metrics.GLOBAL.span("prove/witness_synthesis"):
-            composer = Composer.prove(self.constraints, circuit)
+        # every proof's cost -- measured so the flagship accounting closes.
+        # GC is paused for the duration: synthesis allocates ~1.4M small
+        # objects against a large live heap (device buffers, keys), and
+        # collection passes tripled its wall time at the 2^16 flagship.
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        if gc_was_enabled:
+            gc.disable()
+        try:
+            with metrics.GLOBAL.span("prove/witness_synthesis"):
+                composer = Composer.prove(self.constraints, circuit)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
         n = self.size
         domain = Domain(n)
         transcript = self.transcript.clone()
@@ -546,13 +558,24 @@ class Prover:
             transcript.append_scalar(b"pi", pi)
 
         with metrics.GLOBAL.span("prove/wire_ingest"):
-            wire_vals = [0] * (4 * n)
-            for i, gate in enumerate(composer.constraints):
-                wire_vals[i] = composer[gate.a].value
-                wire_vals[n + i] = composer[gate.b].value
-                wire_vals[2 * n + i] = composer[gate.c].value
-                wire_vals[3 * n + i] = composer[gate.d].value
-            wires_flat = FR.to_mont_array(wire_vals)  # [16, 4n]
+            # one byte-encode per WITNESS, then vectorized numpy gathers
+            # per wire column (the round-2 python loop re-encoded every
+            # wire occurrence)
+            import numpy as np
+
+            wit = composer.witnesses
+            wit_raw = np.frombuffer(
+                b"".join(w.value.to_bytes(32, "little") for w in wit),
+                dtype="<u2").reshape(len(wit), FR.n_limbs)
+            gates = composer.constraints
+            n_con = len(gates)
+            raw = np.zeros((4 * n, FR.n_limbs), np.uint16)
+            for col, sel in enumerate(("a", "b", "c", "d")):
+                idx = np.fromiter(
+                    (getattr(g, sel).index for g in gates), np.int64, n_con)
+                raw[col * n: col * n + n_con] = wit_raw[idx]
+            wires_flat = lf.to_mont(
+                FR, jnp.asarray(raw.T.astype(np.uint32)))  # [16, 4n]
 
         def cols(values):
             return dpoly.to_device([v.value if isinstance(v, Fr) else v
