@@ -5,8 +5,12 @@ programs trace them into one device program); eager per-op dispatch through
 the remote tunnel adds ~seconds of pure host<->device latency and measures
 the tunnel, not the kernel.
 """
+import os
 import random
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 import jax
 
