@@ -187,3 +187,20 @@ def test_jubjub_hash_to_point():
     assert p.is_on_curve() and p.is_torsion_free() and not p.is_identity()
     assert p == hash_to_point(b"zkvm-tpu test")
     assert p != hash_to_point(b"zkvm-tpu test2")
+
+
+def test_jubjub_map_unmap_roundtrip():
+    """map_to_point embeds a u64 into the v-coordinate low bytes and
+    unmap_from_point recovers it (coset.rs:202-239 + its test)."""
+    import random
+
+    from zkvm_tpu.curves.jubjub import (JubjubExtended, map_to_point,
+                                        unmap_from_point)
+
+    rng = random.Random(77)
+    for _ in range(8):
+        value = rng.randrange(1 << 64)
+        point = map_to_point(value)
+        assert isinstance(point, JubjubExtended)
+        assert point.is_torsion_free() and not point.is_identity()
+        assert unmap_from_point(point) == value

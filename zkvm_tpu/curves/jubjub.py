@@ -293,8 +293,29 @@ def hash_to_point(data: bytes) -> JubjubExtended:
 
 
 def map_to_point(value: int) -> JubjubExtended:
-    """Embed a u64 into the prime-order subgroup (coset.rs map_to_point)."""
-    return hash_to_point(int(value).to_bytes(8, "little"))
+    """Embed a u64 into the prime-order subgroup (coset.rs:202-230).
+
+    The u64 replaces the low 8 bytes of the GENERATOR's v-coordinate;
+    the v-coordinate is bumped by 2^64 until the bytes decode to a
+    prime-order point.  Invertible via `unmap_from_point` (the low bytes
+    are never touched by the bump)."""
+    y = JubjubAffine.generator().v
+    vbytes = bytearray(y.to_bytes())
+    vbytes[:8] = int(value).to_bytes(8, "little")
+    y = Fq.from_bytes(bytes(vbytes))
+    adder = Fq(1 << 64)
+    while True:
+        p = JubjubAffine.from_bytes(y.to_bytes())
+        if p is not None:
+            ext = p.to_extended()
+            if ext.is_torsion_free() and not ext.is_identity():
+                return ext
+        y = y + adder
+
+
+def unmap_from_point(point: JubjubExtended) -> int:
+    """Recover the u64 embedded by `map_to_point` (coset.rs:233-239)."""
+    return int.from_bytes(point.to_affine().to_bytes()[:8], "little")
 
 
 class ElgamalCipher:
