@@ -97,10 +97,10 @@ def test_ptree_pipeline_direct():
     scalars[4] = scalars[5]
 
     ctx = dmsm.MSMContext(points)
-    pts, _ = ctx._padded(n)
+    pts, pinf, pm = ctx._padded(n)
     limbs = FR.to_raw_array([s.value for s in scalars])[None]
     c = 10
-    sums = dmsm._msm_ptree_pipeline(c, *pts, limbs)
+    sums = dmsm._msm_ptree_pipeline(c, pm, pinf, limbs)
     host = [np.asarray(t) for t in jax.device_get(sums)]
     got = dmsm._host_window_fold(host, c, host[0].shape[0], 1, [n])[0]
     assert got == msm_variable_base(points, scalars)

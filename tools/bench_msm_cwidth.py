@@ -15,7 +15,7 @@ rng = random.Random(42)
 points = batch_scalar_mul_base(G1Affine.generator(),
                                [Fr(rng.randrange(Fr.MODULUS)) for _ in range(n)])
 ctx = M.MSMContext(points)
-pts, _ = ctx._padded(n)
+pts, pinf, pm = ctx._padded(n)
 
 scal = [Fr(rng.randrange(Fr.MODULUS)) for _ in range(n)]
 limbs1 = jnp.moveaxis(FR.to_raw_array([s.value for s in scal]).reshape(FR.n_limbs, 1, n), 0, 1)
@@ -25,11 +25,11 @@ jax.block_until_ready((limbs1, limbs4))
 ref = None
 for c in (11, 12, 13):
     for tag, limbs in (("S=1", limbs1), ("S=4", limbs4)):
-        out = M._msm_ptree_pipeline(c, *pts, limbs)
+        out = M._msm_ptree_pipeline(c, pm, pinf, limbs)
         jax.block_until_ready(out)
         t0 = time.monotonic()
         for _ in range(3):
-            out = M._msm_ptree_pipeline(c, *pts, limbs)
+            out = M._msm_ptree_pipeline(c, pm, pinf, limbs)
             jax.block_until_ready(out)
         dt = (time.monotonic() - t0) / 3
         nsets = limbs.shape[0]

@@ -24,14 +24,14 @@ limbs = jnp.moveaxis(limbs.reshape(FR.n_limbs, 1, n), 0, 1)
 jax.block_until_ready(limbs)
 t_conv = time.monotonic() - t0
 
-pts, _ = ctx._padded(n)
+pts, pinf, pm = ctx._padded(n)
 c = M._ptree_window_bits(n)
 # warm
-sums = M._msm_ptree_pipeline(c, *pts, limbs)
+sums = M._msm_ptree_pipeline(c, pm, pinf, limbs)
 jax.block_until_ready(sums)
 t0 = time.monotonic()
 for _ in range(3):
-    sums = M._msm_ptree_pipeline(c, *pts, limbs)
+    sums = M._msm_ptree_pipeline(c, pm, pinf, limbs)
     jax.block_until_ready(sums)
 t_pipe = (time.monotonic() - t0) / 3
 

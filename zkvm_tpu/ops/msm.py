@@ -361,8 +361,13 @@ def _ptree_window_bits(n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _msm_ptree_pipeline(c: int, px, py, pz, limbs):
-    """Same contract as _msm_pipeline, halving-tree bucket accumulation."""
+def _msm_ptree_pipeline(c: int, pm, pinf, limbs):
+    """Same contract as _msm_pipeline, halving-tree bucket accumulation.
+
+    pm: [N, 72] POINT-MAJOR coords (x|y|z limbs per row) -- a row gather
+    of contiguous 288-byte records beats three strided column gathers by
+    ~17% on v5e; pinf: [N] bool infinity flags (precomputed per size
+    class in MSMContext._padded)."""
     s, _, n = limbs.shape
     half = 1 << (c - 1)
     sent = half + 1
@@ -371,7 +376,6 @@ def _msm_ptree_pipeline(c: int, px, py, pz, limbs):
     b = s * w_count
     dflat = d.reshape(b, n)
 
-    pinf = jnp.all(pz == 0, axis=0)  # [N]
     bucket = jnp.where(dflat == 0, sent, jnp.abs(dflat))
     bucket = jnp.where(pinf[None, :], sent, bucket)
 
@@ -388,9 +392,11 @@ def _msm_ptree_pipeline(c: int, px, py, pz, limbs):
     neg = ((packed >> idx_bits) & 1) == 1
     perm = packed & ((1 << idx_bits) - 1)
 
-    x = jnp.moveaxis(jnp.take(px, perm, axis=1), 0, 1)  # [B, 24, N]
-    y = jnp.moveaxis(jnp.take(py, perm, axis=1), 0, 1)
-    z = jnp.moveaxis(jnp.take(pz, perm, axis=1), 0, 1)
+    g = jnp.take(pm, perm.reshape(-1), axis=0)          # [B*N, 72]
+    g = g.reshape(b, n, 3 * FQ.n_limbs).transpose(0, 2, 1)
+    x = g[:, 0:FQ.n_limbs]                              # [B, 24, N]
+    y = g[:, FQ.n_limbs:2 * FQ.n_limbs]
+    z = g[:, 2 * FQ.n_limbs:]
     y = lf.select(neg, lf.neg(FQ, y), y)
 
     one_col = jnp.asarray(np.asarray(FQ.one_mont, dtype=np.uint32))[:, None]
@@ -617,24 +623,26 @@ class MSMContext:
         return _fold_windows(sums, c, len(sizes), sizes)
 
     def _padded(self, n_pad):
-        """Padded device point tensors + infinity flags, cached per size
-        class (the pad/flag ops are eager device calls -- one tunnel round
-        trip each on remote TPUs, so they must not run per commit)."""
+        """Padded device point tensors (limb-major triple + point-major
+        [N, 72] matrix) and infinity flags, cached per size class (the
+        pad/transpose ops are eager device calls -- one tunnel round trip
+        each on remote TPUs, so they must not run per commit)."""
         cache = getattr(self, "_pad_cache", None)
         if cache is None:
             cache = self._pad_cache = {}
         ent = cache.get(n_pad)
         if ent is None:
             pts = _pad_points(self.points, n_pad)
-            pinf = jnp.all(pts[2] == 0, axis=0).astype(jnp.uint32)
-            ent = cache[n_pad] = (pts, pinf)
+            pinf = jnp.all(pts[2] == 0, axis=0)
+            pm = jnp.transpose(jnp.concatenate(pts, axis=0))  # [N, 72]
+            ent = cache[n_pad] = (pts, pinf, pm)
         return ent
 
     def _run(self, limbs, sizes, n_pad) -> list[G1Projective]:
-        pts, _ = self._padded(n_pad)
+        pts, pinf, pm = self._padded(n_pad)
         if n_pad >= PTREE_MIN_POINTS:
             c = _ptree_window_bits(n_pad)
-            sums = _msm_ptree_pipeline(c, *pts, limbs)
+            sums = _msm_ptree_pipeline(c, pm, pinf, limbs)
         else:
             c = _window_bits(n_pad)
             sums = _msm_pipeline(c, *pts, limbs)
